@@ -1,0 +1,16 @@
+"""Test env: force CPU with 8 virtual devices so sharding/halo-exchange tests
+run without a TPU pod (must run before any backend is initialised).
+
+Note: this machine's sitecustomize registers an experimental TPU plugin and
+overrides ``jax_platforms`` in jax.config directly, so the env var alone is
+not enough — we also update the config."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -287,7 +287,10 @@ class GrebConfig:
     co2: CO2Params = field(default_factory=CO2Params)
     experiment: Experiment = field(default_factory=Experiment)
     # runtime knobs (not in the reference; TPU-native controls)
-    unroll_circulation: bool = True   # statically unroll the 24 substeps
+    # Statically unrolling the 24 circulation substeps helps TPU latency but
+    # inflates the XLA graph ~24x (CPU compiles of a full year then take
+    # minutes); default to lax.scan and let benchmarks opt in.
+    unroll_circulation: bool = False
     use_pallas: bool = False          # fused Pallas circulation kernel
     fidelity_jp2_quirk: bool = True   # reproduce src/greb.f90:881 index quirk
 

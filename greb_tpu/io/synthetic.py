@@ -55,7 +55,12 @@ def solar_radiation(ydim: int, nstep_yr: int, ndays_yr: int = 365,
 
 
 def topography(xdim: int, ydim: int) -> np.ndarray:
-    """Idealised continents: smooth bumps on an ocean planet."""
+    """Idealised continents: smooth bumps on an ocean planet.
+
+    Convention matches the reference input data exactly: ocean points are a
+    flat -0.1 m (NOT bathymetry) — the topography weights
+    wz = exp(-z_topo/z_scale) must stay <= ~1 or the reference's explicit
+    stencils (faithfully reproduced here) go unstable."""
     lon, lat = _grid(xdim, ydim)
     LON, LAT = np.meshgrid(lon, lat)
 
@@ -63,13 +68,14 @@ def topography(xdim: int, ydim: int) -> np.ndarray:
         dl = (LON - lon0 + 180.0) % 360.0 - 180.0
         return h * np.exp(-((dl / slon) ** 2 + ((LAT - lat0) / slat) ** 2))
 
-    z = -4000.0 * np.ones((ydim, xdim))
-    z += bump(20, 10, 30, 35, 5200.0)     # "Africa/Eurasia" blob
-    z += bump(90, 40, 45, 22, 6500.0)     # "Asia" with high interior
-    z += bump(280, 45, 28, 25, 5200.0)    # "North America"
-    z += bump(300, -20, 18, 25, 4800.0)   # "South America"
-    z += bump(135, -25, 18, 14, 4400.0)   # "Australia"
-    z += bump(0, -90, 400, 22, 7000.0)    # "Antarctica" (zonal cap)
+    b = np.zeros((ydim, xdim))
+    b += bump(20, 10, 30, 35, 5200.0)     # "Africa/Eurasia" blob
+    b += bump(90, 40, 45, 22, 6500.0)     # "Asia" with high interior
+    b += bump(280, 45, 28, 25, 5200.0)    # "North America"
+    b += bump(300, -20, 18, 25, 4800.0)   # "South America"
+    b += bump(135, -25, 18, 14, 4400.0)   # "Australia"
+    b += bump(0, -90, 400, 22, 7000.0)    # "Antarctica" (zonal cap)
+    z = np.where(b > 4000.0, np.maximum(b - 4000.0, 1.0), -0.1)
     return z.astype(F32)
 
 

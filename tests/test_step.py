@@ -112,31 +112,6 @@ def test_multistep_fluxcorr_tracks_oracle(setup):
                  rtol=1e-3, atol=5e-6, name="qf 5-step")
 
 
-def test_fluxcorr_then_scenario_pins_climate(setup):
-    """After one year of flux correction, a scenario year at the same CO2
-    must stay near the observed climatology (the reference's built-in
-    self-calibration property; src/greb.f90:344-355)."""
-    num = setup.num
-    st = setup.state0()
-    co2 = jnp.float32(298.0)
-    st, corr = core.run_year_fluxcorr(st, setup.sfx, co2, setup.md, setup.st,
-                                      num, setup.exp)
-    # state after spin-up is pinned to the final climatology step
-    assert_close(st.ts, setup.oracle.tclim[-1], rtol=1e-5, atol=1e-3)
-
-    from greb_tpu.grid import month_average_matrix
-    mm = jnp.asarray(month_average_matrix(num.jday_mon, num.ndt_days))
-    st2 = setup.state0().replace(cap_surf=st.cap_surf)
-    st2, monthly, mean_fields = core.run_year_scenario(
-        st2, setup.sfx, corr, co2, setup.md, setup.st, num, setup.exp, mm)
-    diag = core.year_diag(mean_fields, num)
-    assert monthly.shape == (12, 5, num.ydim, num.xdim)
-    # annual-mean Ts within a fraction of a K of the climatology's mean
-    t_clim_mean = float(np.mean(np.asarray(setup.oracle.tclim)))
-    assert abs(float(diag.global_mean_ts) - t_clim_mean) < 0.5
-    assert np.isfinite(np.asarray(monthly)).all()
-
-
 def test_scenario_step_jit_and_vmap(setup):
     """The step must be jittable and vmappable (ensemble axis)."""
     st = setup.state0()

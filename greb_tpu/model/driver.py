@@ -63,6 +63,8 @@ class GREB:
         self.month_mat = jnp.asarray(
             month_average_matrix(self.num.jday_mon, self.num.ndt_days))
         self._jit_cache = {}
+        self._sf_np = sf_np
+        self._packs = None  # lazy (fpack, sw, cpack) for the Pallas path
 
     # -- factory ------------------------------------------------------------
     @classmethod
@@ -94,6 +96,44 @@ class GREB:
                 lambda state, sfx, corr, co2, md: f(state, sfx, corr, co2, md))
         return self._jit_cache[key]
 
+    # -- fused Pallas year runners (single-model TPU fast path) --------------
+    def _pallas_packs(self):
+        if self._packs is None:
+            from ..ops.pallas import year_kernel as yk
+            fpack, sw = yk.pack_forcing(self.sfx)
+            cpack = yk.pack_const(self.md)
+            self._packs = (fpack, sw, cpack)
+        return self._packs
+
+    def _year_fluxcorr_pallas(self):
+        if "flux_pl" not in self._jit_cache:
+            from ..ops.pallas import year_kernel as yk
+            run = yk.build_fluxcorr_year(self.md, self.st, self._sf_np,
+                                         self.num, self.exp)
+            self._jit_cache["flux_pl"] = jax.jit(run)
+        return self._jit_cache["flux_pl"]
+
+    def _year_scenario_pallas(self):
+        if "scnr_pl" not in self._jit_cache:
+            from ..ops.pallas import year_kernel as yk
+            run_kernel = yk.build_scenario_year(self.md, self.st, self._sf_np,
+                                                self.num, self.exp)
+            month_mat = self.month_mat
+
+            def run(state, fpack, sw, cpack, corrpack, co2):
+                state, outs = run_kernel(state, fpack, sw, cpack, corrpack,
+                                         co2)
+                # monthly means: (12,t) @ (t,5,y,x) — one MXU contraction
+                monthly = jnp.einsum('mt,tvyx->mvyx', month_mat, outs[:, :5],
+                                     preferred_element_type=jnp.float32)
+                mean_fields = core.StepOutputs(
+                    *[outs[:, i].mean(axis=0)
+                      for i in range(len(core.StepOutputs._fields))])
+                return state, monthly, mean_fields
+
+            self._jit_cache["scnr_pl"] = jax.jit(run)
+        return self._jit_cache["scnr_pl"]
+
     # -- phases ---------------------------------------------------------------
     def initial_state(self) -> ModelState:
         return initial_state(self.params, self.forcing, self.derived)
@@ -113,6 +153,15 @@ class GREB:
             print(f"% FLUX CORRECTION RUN; years = {num.time_flux} "
                   f"co2 = {float(co2v)}")
         corr = Corrections.zeros(num.nstep_yr, num.ydim, num.xdim)
+        if self.cfg.use_pallas:
+            fpack, sw, cpack = self._pallas_packs()
+            runner = self._year_fluxcorr_pallas()
+            for _ in range(num.time_flux):
+                state, corrpack = runner(state, fpack, sw, cpack, co2v)
+            if num.time_flux > 0:
+                corr = Corrections(tf=corrpack[:, 0], tof=corrpack[:, 1],
+                                   qf=corrpack[:, 2])
+            return state, corr
         runner = self._year_fluxcorr()
         for _ in range(num.time_flux):
             state, corr = runner(state, self.sfx, co2v, self.md)
@@ -148,7 +197,15 @@ class GREB:
             from ..io.binio import OutputWriter
             writer = OutputWriter(output_path, num.xdim, num.ydim)
 
-        runner = self._year_scenario(with_outputs=collect_monthly)
+        if self.cfg.use_pallas:
+            fpack, sw, cpack = self._pallas_packs()
+            corrpack = jnp.stack([corr.tf, corr.tof, corr.qf], axis=1)
+            pl_runner = self._year_scenario_pallas()
+
+            def runner(state, _sfx, _corr, co2, _md):
+                return pl_runner(state, fpack, sw, cpack, corrpack, co2)
+        else:
+            runner = self._year_scenario(with_outputs=collect_monthly)
         if self.verbose:
             print(f"% MODEL RUN; years = {years}")
             print("console output: year, co2, global avg temp, "

@@ -123,17 +123,17 @@ class LonShifts(NamedTuple):
     p2q: jax.Array  # p2 with the src/greb.f90:881 quirk applied
 
 
-def _quirk_mask(xdim: int) -> np.ndarray:
-    m = np.zeros((1, xdim), bool)
-    m[0, xdim - 3] = True  # Fortran j = xdim-2
-    return m
+def _quirk_mask(xdim: int) -> jax.Array:
+    # iota-based (not a captured constant) so it is Pallas-kernel-safe
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
+    return cols == (xdim - 3)  # Fortran j = xdim-2
 
 
 def lon_shifts(x: jax.Array, xdim: int, quirk: bool) -> LonShifts:
     r = lambda s: jnp.roll(x, s, axis=-1)
     p1, p2 = r(-1), r(-2)
     if quirk:
-        p2q = jnp.where(jnp.asarray(_quirk_mask(xdim)), p1, p2)
+        p2q = jnp.where(_quirk_mask(xdim), p1, p2)
     else:
         p2q = p2
     return LonShifts(c=x, m1=r(1), m2=r(2), m3=r(3), p1=p1, p2=p2, p3=r(-3), p2q=p2q)
@@ -267,17 +267,19 @@ def circulation(x: jax.Array, wz: jax.Array, u_m, u_p, v_m, v_p,
     diffusion-only, greb.original.model.f90:560-565)."""
     pack = make_wz_pack(wz, st, extend)
 
-    def substep(xc, _):
+    def substep(xc):
         dxd = diffusion(xc, wz, pack, st, sf, kappa, extend)
         if include_advection:
             dxa = advection(xc, pack, u_m, u_p, v_m, v_p, st, sf, extend)
-            return xc + dxd + dxa, None
-        return xc + dxd, None
+            return xc + dxd + dxa
+        return xc + dxd
 
     if unroll:
         xc = x
         for _ in range(nsub):
-            xc, _ = substep(xc, None)
+            xc = substep(xc)
     else:
-        xc, _ = jax.lax.scan(substep, x, None, length=nsub)
+        # fori_loop (not scan): identical semantics, and it lowers inside
+        # Pallas/Mosaic kernels where scan does not.
+        xc = jax.lax.fori_loop(0, nsub, lambda i, xc: substep(xc), x)
     return xc - x

@@ -1,0 +1,148 @@
+"""CLI entry point: ``python -m greb_tpu [namelist] [options]``.
+
+The TPU-native equivalent of the reference's ``./greb [namelist]``
+(PROGRAM greb_run, reference src/greb.f90:996-1098): the positional argument
+is a Fortran namelist path (default ``namelist``), input climatologies are
+read from ``--input-dir`` in the reference's direct-access binary format
+(or synthesized with ``--synthetic``), and output is the reference's
+5-variable monthly-mean record stream.
+
+TPU-native extras beyond the reference CLI:
+  --pallas            fused whole-year kernel (single-model TPU fast path)
+  --checkpoint-dir    periodic checkpoint/resume (the reference has none)
+  --legacy            run the legacy experiment workflow for the namelist's
+                      log_exp (control + scenario phases, TF_correct dump;
+                      cf. src/greb.original.model.f90:199-231)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m greb_tpu",
+        description="TPU-native GREB climate model")
+    p.add_argument("namelist", nargs="?", default="namelist",
+                   help="namelist path (default: ./namelist, like ./greb)")
+    p.add_argument("--input-dir", default=None,
+                   help="directory with reference-format binary inputs; "
+                        "omit to use the deterministic synthetic climatology")
+    p.add_argument("--synthetic", action="store_true",
+                   help="force synthetic forcing even if --input-dir is set")
+    p.add_argument("--output", default=None,
+                   help="override diagnostics_par output_file")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused whole-year Pallas kernel")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=10,
+                   help="years between checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
+    p.add_argument("--legacy", action="store_true",
+                   help="legacy experiment workflow (log_exp switchboard)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import GrebConfig, config_from_namelist
+    from .model.driver import GREB
+
+    if os.path.exists(args.namelist):
+        cfg, params = config_from_namelist(args.namelist)
+    else:
+        if args.namelist != "namelist":
+            print(f"namelist not found: {args.namelist}", file=sys.stderr)
+            return 2
+        cfg, params = GrebConfig(), None   # reference also runs w/o namelist
+    if args.output:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, diagnostics=dataclasses.replace(cfg.diagnostics,
+                                                 output_file=args.output))
+    if args.pallas:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_pallas=True)
+
+    input_dir = None if args.synthetic else args.input_dir
+    model = GREB(cfg, params=params, input_dir=input_dir,
+                 verbose=not args.quiet)
+
+    out_path = cfg.diagnostics.output_file_full
+    out_dir = os.path.dirname(out_path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    if args.legacy:
+        run_legacy(model, out_path, quiet=args.quiet)
+    elif args.checkpoint_dir:
+        run_checkpointed(model, out_path, args)
+    else:
+        model.run(output_path=out_path)
+    if not args.quiet:
+        print(f"% total wall time {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+def run_legacy(model, out_path: str, quiet: bool = False) -> None:
+    """Legacy workflow (src/greb.original.model.f90:199-231): spin-up, dump
+    TF_correct to <out>/control-prefix, control run, then scenario."""
+    import numpy as np
+    from .io.binio import write_records
+
+    state_fc, corr = model.flux_correction()
+    base = os.path.dirname(out_path) or "."
+    os.makedirs(base, exist_ok=True)
+    control_path = os.path.join(base, "control")
+    # dump the 730 TF_correct records first (reference :204-206)
+    write_records(control_path, np.asarray(corr.tf))
+    if model.num.time_ctrl > 0:
+        model.run_control(corr, state_fc=state_fc, output_path=control_path)
+    model.run_scenario(corr, cap_surf=state_fc.cap_surf,
+                       output_path=out_path)
+
+
+def run_checkpointed(model, out_path: str, args) -> None:
+    """Scenario phase with periodic checkpoints and optional resume."""
+    import numpy as np
+    from .io.binio import OutputWriter
+    from .io.checkpoint import Checkpointer, RunCursor
+
+    ck = Checkpointer(args.checkpoint_dir, every_years=args.checkpoint_every)
+    num = model.num
+    co2_series = model.cfg.co2.series(num.time_scnr)
+
+    start_year = 0
+    if args.resume and ck.latest_step() is not None:
+        state, corr, cursor = ck.restore()
+        start_year = cursor.year_index
+        if not args.quiet:
+            print(f"% resumed from checkpoint at year {start_year}")
+    else:
+        state_fc, corr = model.flux_correction()
+        state = model.initial_state().replace(cap_surf=state_fc.cap_surf)
+
+    writer = OutputWriter(out_path, num.xdim, num.ydim,
+                          append=start_year > 0)
+    for iy in range(start_year, num.time_scnr):
+        state, monthly, diags = model.run_scenario(
+            corr, state=state, years=1,
+            co2_series=co2_series[iy:iy + 1])
+        writer.write_months(monthly[0])
+        if ck.maybe_save(iy, state, corr,
+                         RunCursor(phase="scenario", year_index=iy + 1,
+                                   co2=float(co2_series[iy]))):
+            if not args.quiet:
+                print(f"% checkpoint saved at year {iy + 1}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,12 +90,13 @@ class OutputWriter:
     NVAR = 5
     VARS = ("tsurf", "tair", "tocean", "vapour", "albedo")
 
-    def __init__(self, path: str, xdim: int, ydim: int):
+    def __init__(self, path: str, xdim: int, ydim: int, append: bool = False):
         self.path = path
         self.xdim, self.ydim = xdim, ydim
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "wb")
-        self.irec = 0
+        self._f = open(path, "ab" if append else "wb")
+        self.irec = (os.path.getsize(path) // (4 * xdim * ydim)
+                     if append and os.path.exists(path) else 0)
 
     def write_months(self, monthly: np.ndarray) -> None:
         """monthly: (nmonths, 5, ydim, xdim) float32."""

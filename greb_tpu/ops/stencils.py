@@ -75,6 +75,13 @@ class StencilStatic:
     diff_max_iter: int
     adv_max_iter: int
     quirk_jp2: bool = True
+    # Polar rows form two contiguous bands; when compact_polar is set, the
+    # sub-cycled branch runs only on those bands (a ~2x stencil-work cut).
+    # Must be False under latitude sharding (band indices are GLOBAL rows;
+    # the masked full-field form is the SPMD-uniform one).
+    polar_top: int = 0      # rows [0, polar_top)
+    polar_bot: int = 0      # rows [R - polar_bot, R)
+    compact_polar: bool = True
 
 
 def make_stencil_arrays(grid: Grid, quirk_jp2: bool = True):
@@ -100,10 +107,20 @@ def make_stencil_arrays(grid: Grid, quirk_jp2: bool = True):
         row_mfull=col(np.arange(R) == 1).astype(bool),
         row_pfull=col(np.arange(R) == R - 2).astype(bool),
     )
+    polar = np.asarray(grid.polar_rows, bool)
+    kt = int(np.argmin(polar)) if not polar.all() else R
+    kb = int(np.argmin(polar[::-1])) if not polar.all() else 0
+    contiguous = bool(
+        polar.all() or
+        (polar[:kt].all() and polar[R - kb:].all()
+         and not polar[kt:R - kb].any()))
     static = StencilStatic(
         xdim=grid.xdim, dyy=float(F32(grid.dyy)), dt_crcl=float(grid.dt_crcl),
         diff_max_iter=dsched.max_iter, adv_max_iter=asched.max_iter,
         quirk_jp2=quirk_jp2,
+        polar_top=kt if contiguous else 0,
+        polar_bot=kb if contiguous else 0,
+        compact_polar=contiguous,
     )
     return static, fields
 
@@ -195,6 +212,37 @@ def _adv_smooth3(t: LonShifts, w: LonShifts, u_m, u_p, cc, quirk: bool) -> jax.A
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
+def _band_slices(st: StencilStatic, R: int):
+    """Row slices of the two contiguous polar bands."""
+    out = []
+    if st.polar_top > 0:
+        out.append(slice(0, st.polar_top))
+    if st.polar_bot > 0:
+        out.append(slice(R - st.polar_bot, R))
+    return out
+
+
+def _rows(tree, sl: slice):
+    """Slice the lat axis (-2) of every array in a NamedTuple/array."""
+    f = lambda a: a[..., sl, :]
+    if isinstance(a := tree, jax.Array):
+        return f(a)
+    return type(tree)(*[f(v) for v in tree])
+
+
+def _assemble_rows(mid: jax.Array, parts, st: StencilStatic) -> jax.Array:
+    """Concatenate [top band, mid band, bottom band] along lat.  ``parts``
+    holds the band results in _band_slices order (top first)."""
+    segs = []
+    it = iter(parts)
+    if st.polar_top > 0:
+        segs.append(next(it))
+    segs.append(mid)
+    if st.polar_bot > 0:
+        segs.append(next(it))
+    return jnp.concatenate(segs, axis=-2) if len(segs) > 1 else mid
+
+
 def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
               sf: StencilFields, kappa, extend: Extend = extend_lat_zero) -> jax.Array:
     """dX_diffuse = wz * (dTx + dTy); reference src/greb.f90:556-723."""
@@ -204,19 +252,43 @@ def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
     ccy = kappa * dtc / jnp.float32(st.dyy) ** 2
     dty = ccy * (pack.km1 * (x_km1 - x) + pack.kp1 * (x_kp1 - x))
 
-    ts = lon_shifts(x, st.xdim, quirk=False)
-    ccx = (kappa * dtc) / sf.dxlat2
-    dtx = _diff7(ts, pack.lon, ccx)
-
-    if st.diff_max_iter > 0:
-        ccx2 = (kappa * sf.diff_dtdff2) / sf.dxlat2
-        t1h = x
-        for i in range(st.diff_max_iter):
-            th = lon_shifts(t1h, st.xdim, quirk=False)
-            d = _diff7(th, pack.lon, ccx2)
-            d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # positivity clamp (:715)
-            t1h = t1h + d * sf.diff_itm[i]
-        dtx = jnp.where(sf.polar, t1h - x, dtx)
+    if st.diff_max_iter > 0 and st.compact_polar:
+        # zonal stencils are row-local: compute the vectorized 7-point form
+        # only on the non-polar mid band, and the sub-cycled form only on
+        # the two polar bands (their vectorized result would be discarded)
+        R = x.shape[-2]
+        mid = slice(st.polar_top, R - st.polar_bot)
+        xm = x[..., mid, :]
+        tsm = lon_shifts(xm, st.xdim, quirk=False)
+        ccx_m = (kappa * dtc) / sf.dxlat2[mid]
+        dtx = _diff7(tsm, _rows(pack.lon, mid), ccx_m)
+        parts = []
+        for sl in _band_slices(st, R):
+            xb = x[..., sl, :]
+            wb = _rows(pack.lon, sl)
+            ccx2 = (kappa * sf.diff_dtdff2[sl]) / sf.dxlat2[sl]
+            itm = sf.diff_itm[:, sl]
+            t1h = xb
+            for i in range(st.diff_max_iter):
+                th = lon_shifts(t1h, st.xdim, quirk=False)
+                d = _diff7(th, wb, ccx2)
+                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:715)
+                t1h = t1h + d * itm[i]
+            parts.append(t1h - xb)
+        dtx = _assemble_rows(dtx, parts, st)
+    else:
+        ts = lon_shifts(x, st.xdim, quirk=False)
+        ccx = (kappa * dtc) / sf.dxlat2
+        dtx = _diff7(ts, pack.lon, ccx)
+        if st.diff_max_iter > 0:  # masked full-field form (sharded path)
+            ccx2 = (kappa * sf.diff_dtdff2) / sf.dxlat2
+            t1h = x
+            for i in range(st.diff_max_iter):
+                th = lon_shifts(t1h, st.xdim, quirk=False)
+                d = _diff7(th, pack.lon, ccx2)
+                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:715)
+                t1h = t1h + d * sf.diff_itm[i]
+            dtx = jnp.where(sf.polar, t1h - x, dtx)
 
     return wz * (dtx + dty)
 
@@ -241,10 +313,34 @@ def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
     dty = ccy * (-jnp.where(sf.row_mfull, s_m, s_m / 3.0)
                  + jnp.where(sf.row_pfull, s_p, s_p / 3.0))
 
-    ts = lon_shifts(x, st.xdim, quirk=False)
-    dtx = _adv_upwind2(ts, pack.lon, u_m, u_p, sf.ccx_adv)
+    if st.adv_max_iter > 0 and st.compact_polar:
+        R = x.shape[-2]
+        mid = slice(st.polar_top, R - st.polar_bot)
+        xm = x[..., mid, :]
+        tsm = lon_shifts(xm, st.xdim, quirk=False)
+        dtx = _adv_upwind2(tsm, _rows(pack.lon, mid),
+                           u_m[..., mid, :], u_p[..., mid, :],
+                           sf.ccx_adv[mid])
+        parts = []
+        for sl in _band_slices(st, R):
+            xb = x[..., sl, :]
+            wb = _rows(pack.lon, sl)
+            ub_m, ub_p = u_m[..., sl, :], u_p[..., sl, :]
+            cc2 = sf.adv_ccx2[sl]
+            itm = sf.adv_itm[:, sl]
+            t1h = xb
+            for i in range(st.adv_max_iter):
+                th = lon_shifts(t1h, st.xdim, quirk=st.quirk_jp2)
+                d = _adv_smooth3(th, wb, ub_m, ub_p, cc2, st.quirk_jp2)
+                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:907)
+                t1h = t1h + d * itm[i]
+            parts.append(t1h - xb)
+        dtx = _assemble_rows(dtx, parts, st)
+    else:
+        ts = lon_shifts(x, st.xdim, quirk=False)
+        dtx = _adv_upwind2(ts, pack.lon, u_m, u_p, sf.ccx_adv)
 
-    if st.adv_max_iter > 0:
+    if st.adv_max_iter > 0 and not st.compact_polar:
         t1h = x
         for i in range(st.adv_max_iter):
             th = lon_shifts(t1h, st.xdim, quirk=st.quirk_jp2)

@@ -101,8 +101,12 @@ def make_sharded_year_runners(mesh: Mesh, st: stc.StencilStatic,
     batched=True expects a leading ensemble axis on state/corr/md(params,
     derived); forcing and stencil constants are shared.
     """
+    import dataclasses
     n_y = mesh.shape["y"]
     extend = make_sharded_extend("y", n_y)
+    # polar band compaction indexes GLOBAL rows; under latitude sharding the
+    # masked full-field form is the SPMD-uniform one
+    st = dataclasses.replace(st, compact_polar=False)
     s_state, s_sfx, s_corr, s_md, s_monthly, s_meanf = _specs(batched)
 
     def flux_one(state, sfx, co2, md):

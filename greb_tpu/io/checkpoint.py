@@ -126,7 +126,12 @@ class Checkpointer:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
         if self._mgr is not None:
-            out = self._mgr.restore(step)
+            try:
+                meta = self._mgr.item_metadata(step)
+                out = self._mgr.restore(
+                    step, args=self._ocp.args.StandardRestore(meta))
+            except Exception:
+                out = self._mgr.restore(step)
             import jax.numpy as jnp
             state = ModelState(**{k: jnp.asarray(v)
                                   for k, v in out["state"].items()})

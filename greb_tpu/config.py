@@ -291,6 +291,10 @@ class GrebConfig:
     # inflates the XLA graph ~24x (CPU compiles of a full year then take
     # minutes); default to lax.scan and let benchmarks opt in.
     unroll_circulation: bool = False
+    # Runtime failure detection (the reference debug build's FPE-trap analog,
+    # Makefile:10): check prognostic fields for NaN/Inf every N scenario
+    # years (0 = off) and raise FloatingPointError naming the fields.
+    check_finite_every: int = 0
     use_pallas: bool = False          # fused Pallas circulation kernel
     fidelity_jp2_quirk: bool = True   # reproduce src/greb.f90:881 index quirk
 

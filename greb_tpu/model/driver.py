@@ -216,6 +216,10 @@ class GREB:
             co2 = jnp.float32(co2_series[iy])
             state, monthly, mean_fields = runner(state, self.sfx, corr, co2,
                                                  self.md)
+            every = self.cfg.check_finite_every
+            if every and (iy + 1) % every == 0:
+                from ..diag.profiling import check_finite
+                check_finite(state, name=f"state@yr{iy + 1}")
             if collect_monthly:
                 monthly_np = np.asarray(monthly)
                 monthly_all.append(monthly_np)

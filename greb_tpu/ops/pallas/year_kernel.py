@@ -133,7 +133,8 @@ def _state_to_refs(s_ref, out_state_ref, state: ModelState) -> None:
 
 def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                         sf_np: stc.StencilFields, num: Numerics,
-                        exp: Experiment, interpret: bool = False):
+                        exp: Experiment, interpret: bool = False,
+                        circ_unroll: int = 1):
     """Returns fn(state, fpack, sw, cpack, corrpack, co2) ->
     (final_state (5,y,x), outs (t, 9, y, x)) running one scenario year in a
     single fused kernel."""
@@ -166,7 +167,8 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
         co2 = co2_ref[0, 0]
 
         new_state, outs = core.scenario_step(state, fx, corr_t, co2, mdk, st,
-                                             num, exp, unroll_circ=False)
+                                             num, exp,
+                                             unroll_circ=circ_unroll)
         _state_to_refs(s_scr, out_state_ref, new_state)
         for i, f in enumerate(core.StepOutputs._fields):
             outs_ref[0, i] = getattr(outs, f)
@@ -222,7 +224,8 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
 
 def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
                         sf_np: stc.StencilFields, num: Numerics,
-                        exp: Experiment, interpret: bool = False):
+                        exp: Experiment, interpret: bool = False,
+                        circ_unroll: int = 1):
     """Returns fn(state, fpack, sw, cpack, co2) ->
     (final_state (5,y,x), corr (t, 3, y, x)) — one spin-up year fused."""
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
@@ -253,7 +256,7 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
         co2 = co2_ref[0, 0]
 
         new_state, (tf, tof, qf) = core.fluxcorr_step(
-            state, fx, co2, mdk, st, num, exp, unroll_circ=False)
+            state, fx, co2, mdk, st, num, exp, unroll_circ=circ_unroll)
         _state_to_refs(s_scr, out_state_ref, new_state)
         corr_ref[0, 0] = tf
         corr_ref[0, 1] = tof

@@ -370,12 +370,20 @@ def circulation(x: jax.Array, wz: jax.Array, u_m, u_p, v_m, v_p,
             return xc + dxd + dxa
         return xc + dxd
 
-    if unroll:
+    # unroll: True = fully unrolled; int U > 1 = fori_loop over nsub//U with
+    # U substeps per iteration (compile-time / runtime tradeoff); otherwise a
+    # fori_loop (not scan: identical semantics, and it lowers inside
+    # Pallas/Mosaic kernels where scan does not).
+    if unroll is True:
         xc = x
         for _ in range(nsub):
             xc = substep(xc)
+    elif isinstance(unroll, int) and 1 < unroll <= nsub and nsub % unroll == 0:
+        def block(i, xc):
+            for _ in range(unroll):
+                xc = substep(xc)
+            return xc
+        xc = jax.lax.fori_loop(0, nsub // unroll, block, x)
     else:
-        # fori_loop (not scan): identical semantics, and it lowers inside
-        # Pallas/Mosaic kernels where scan does not.
         xc = jax.lax.fori_loop(0, nsub, lambda i, xc: substep(xc), x)
     return xc - x

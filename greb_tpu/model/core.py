@@ -246,25 +246,48 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
                       with_outputs: bool = True):
     """One scenario year.
 
-    Returns (state, monthly(12,5,y,x), annual-mean StepOutputs).  Global
-    reductions (console diagnostics) are done by ``year_diag`` OUTSIDE this
-    function so the same trace works shard-locally under shard_map."""
-    def body(s, xs):
-        fx, corr_t = xs
-        return scenario_step(s, fx, corr_t, co2, md, st, num, exp, extend,
-                             unroll_circ)
+    Returns (state, monthly(12,5,y,x), annual-mean StepOutputs).
 
-    state, outs = jax.lax.scan(body, state, (sfx, (corr.tf, corr.tof, corr.qf)))
+    Monthly/annual means are accumulated IN the scan carry (one
+    dynamic-update of the current month slot per step) rather than stacking
+    all per-step outputs and contracting afterwards: the stacked form costs
+    O(nstep*9*y*x) HBM per member — 14.6 GB for a 128-member ensemble —
+    and its write traffic, not compute, dominated the vmapped path.
+    Global reductions (console diagnostics) are done by ``year_diag``
+    OUTSIDE this function so the same trace works shard-locally under
+    shard_map."""
+    nmon = month_mat.shape[0]
+    m_idx = jnp.argmax(month_mat, axis=0).astype(jnp.int32)     # (t,)
+    m_w = jnp.take_along_axis(month_mat, m_idx[None, :], axis=0)[0]  # (t,)
+
+    def body(carry, xs):
+        s, monthly, sums = carry
+        fx, corr_t, mi, mw = xs
+        s2, out = scenario_step(s, fx, corr_t, co2, md, st, num, exp, extend,
+                                unroll_circ)
+        if with_outputs:
+            f5 = jnp.stack([out.ts, out.ta, out.to, out.q, out.albedo],
+                           axis=-3)
+            slot = jax.lax.dynamic_slice_in_dim(monthly, mi, 1, axis=-4)
+            monthly = jax.lax.dynamic_update_slice_in_dim(
+                monthly, slot + mw * f5[..., None, :, :, :], mi, axis=-4)
+            sums = jax.tree.map(lambda a, b: a + b, sums, out)
+        return (s2, monthly, sums), None
+
+    y, x = state.ts.shape[-2:]
+    batch = state.ts.shape[:-2]
+    monthly0 = jnp.zeros(batch + (nmon, 5, y, x), jnp.float32)
+    zero = jnp.zeros(batch + (y, x), jnp.float32)
+    sums0 = StepOutputs(*([zero] * len(StepOutputs._fields)))
+
+    (state, monthly, sums), _ = jax.lax.scan(
+        body, (state, monthly0, sums0),
+        (sfx, (corr.tf, corr.tof, corr.qf), m_idx, m_w))
 
     if not with_outputs:
         return state, None, None
-
-    # monthly means: (12,730) @ (730,5,y,x) — one MXU contraction
-    fields5 = jnp.stack([outs.ts, outs.ta, outs.to, outs.q, outs.albedo], axis=1)
-    monthly = jnp.einsum('mt,tvyx->mvyx', month_mat, fields5,
-                         preferred_element_type=jnp.float32)
-
-    mean_fields = jax.tree.map(lambda a: jnp.mean(a, axis=0), outs)
+    mean_fields = jax.tree.map(
+        lambda a: a / jnp.float32(num.nstep_yr), sums)
     return state, monthly, mean_fields
 
 

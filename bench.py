@@ -69,32 +69,74 @@ def main() -> None:
         print(f"# xla: {rate:.2f} sim-yr/s", file=sys.stderr)
 
     # --- fused Pallas whole-year kernel ------------------------------------
-    if mode in ("auto", "pallas") and platform != "cpu":
+    # "pallas-fast" = coefficient-folded circulation (ops/fastcirc.py) inside
+    # the fused year kernel — the production path; "pallas" = strict stencils
+    pallas_modes = []
+    if mode in ("auto", "pallas-fast"):
+        pallas_modes.append(("pallas-fast", True))
+    if mode == "pallas" or (mode == "auto"
+                            and os.environ.get("GREB_BENCH_ALL")):
+        pallas_modes.append(("pallas", False))
+    for mname, fastf in pallas_modes:
+        if platform == "cpu":
+            continue
         try:
-            mp = GREB(GrebConfig(numerics=num, use_pallas=True),
-                      verbose=False)
+            mp = GREB(GrebConfig(numerics=num, use_pallas=True,
+                                 fast_circulation=fastf), verbose=False)
             sfc, corr_p = mp.flux_correction()
             fpack, sw, cpack = mp._pallas_packs()
             corrpack = jnp.stack([corr_p.tf, corr_p.tof, corr_p.qf], axis=1)
             r_p = mp._year_scenario_pallas()
+            fa = mp._pallas_fast_args()
 
             def run_pl(s):
-                s2, monthly, mf = r_p(s, fpack, sw, cpack, corrpack, co2)
+                s2, monthly, mf = r_p(s, fpack, sw, cpack, corrpack, co2, *fa)
                 return s2
 
             state = mp.initial_state().replace(cap_surf=sfc.cap_surf)
             rate = _steady_rate(run_pl, state, bench_years)
-            results["pallas"] = rate
-            print(f"# pallas: {rate:.2f} sim-yr/s", file=sys.stderr)
+            results[mname] = rate
+            print(f"# {mname}: {rate:.2f} sim-yr/s", file=sys.stderr)
         except Exception as e:  # pragma: no cover - fallback path
-            print(f"# pallas path failed ({type(e).__name__}: {e}); "
+            print(f"# {mname} path failed ({type(e).__name__}: {e}); "
                   f"using xla", file=sys.stderr)
+
+    # --- vmapped ensemble aggregate (config 3 of BASELINE.json) -------------
+    n_ens = int(os.environ.get("GREB_BENCH_ENS", "0"))
+    if n_ens > 0:
+        import numpy as _np
+        from greb_tpu.parallel import ensemble as ens
+        m = GREB(GrebConfig(numerics=num, fast_circulation=True),
+                 verbose=False)
+        perturb = {"ct_sens": _np.float32(22.5)
+                   * (1.0 + 0.02 * _np.linspace(-1, 1, n_ens, dtype=_np.float32))}
+        pb = ens.perturbed_params(m.params, perturb)
+        md_b = ens.ensemble_data(pb, m.forcing, m.sf)
+        state_b = ens.ensemble_initial_state(pb, m.forcing, md_b)
+        plan, fcdata = m._fastcirc_split()
+        flux_v, scnr_v = ens.make_ensemble_runners(
+            m.st, m.num, m.exp, m.month_mat, fast_plan=plan)
+        state_b, corr_b = flux_v(state_b, m.sfx, co2, md_b, fcdata)
+
+        def run_ens(s):
+            s2, _, _ = scnr_v(s, m.sfx, corr_b, co2, md_b, fcdata)
+            return s2
+
+        years = max(3, bench_years // 4)
+        rate = _steady_rate(run_ens, state_b, years) * n_ens
+        results[f"ensemble[{n_ens}]"] = rate
+        print(f"# ensemble[{n_ens}]: {rate:.1f} aggregate sim-yr/s "
+              f"({rate / n_ens:.2f} per member)", file=sys.stderr)
 
     if not results:
         print("# no benchmark mode ran", file=sys.stderr)
         sys.exit(1)
 
-    best_mode, best = max(results.items(), key=lambda kv: kv[1])
+    # headline = best SINGLE-RUN rate (ensemble aggregate is a different
+    # metric, reported on stderr only)
+    single = {k: v for k, v in results.items()
+              if not k.startswith("ensemble")}
+    best_mode, best = max(single.items(), key=lambda kv: kv[1])
     dev = jax.devices()[0]
     print(f"# best={best_mode} on {dev.platform}:{dev.device_kind}; "
           f"workload: {bench_years}-yr 2xCO2 scenario, 96x48, 730 steps/yr",

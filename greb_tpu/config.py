@@ -296,6 +296,12 @@ class GrebConfig:
     # years (0 = off) and raise FloatingPointError naming the fields.
     check_finite_every: int = 0
     use_pallas: bool = False          # fused Pallas circulation kernel
+    # Coefficient-folded circulation (ops/fastcirc.py): same float32 formulas
+    # algebraically regrouped into ~11 fused multiply-adds per substep, with
+    # the polar clamp iterations kept exactly.  Matches the strict path to
+    # float32 rounding; disabled for legacy transport overrides and for
+    # ensembles that perturb transport parameters.
+    fast_circulation: bool = False
     fidelity_jp2_quirk: bool = True   # reproduce src/greb.f90:881 index quirk
 
     def physics_defaults(self) -> PhysicsParams:

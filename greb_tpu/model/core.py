@@ -24,6 +24,7 @@ from flax import struct
 from ..config import Experiment, Numerics, PhysicsParams
 from ..forcing import ClimForcing, Corrections, Derived, ModelState
 from ..grid import Grid, month_average_matrix
+from ..ops import fastcirc as fc
 from ..ops import pointwise as pw
 from ..ops import stencils as stc
 
@@ -99,8 +100,13 @@ class ModelData:
 def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
                        st: stc.StencilStatic, num: Numerics, exp: Experiment,
                        extend: stc.Extend = stc.extend_lat_zero,
-                       unroll_circ: bool = False) -> Tendencies:
-    """Reference: tendencies, src/greb.f90:277-308."""
+                       unroll_circ: bool = False,
+                       fastcirc=None) -> Tendencies:
+    """Reference: tendencies, src/greb.f90:277-308.
+
+    ``fastcirc`` is an optional ``(FastPlan, FastConst, FastCoeffs-at-step)``
+    triple; when given (and no legacy transport override is active) the
+    circulation uses the coefficient-folded fast path (ops/fastcirc.py)."""
     p, d = md.params, md.derived
     swr = pw.shortwave(state.ts, fx.cld, fx.sw_solar, md.z_topo, md.glacier, p, exp)
     lwr = pw.longwave(state.ts, state.ta, state.q, co2, fx.cld, fx.tclim,
@@ -128,6 +134,14 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
     elif exp.vapor_diffusion_only:               # legacy log_exp 8
         dta_crcl = circ(state.ta, d.wz_air)
         dq_crcl = circ(state.q, d.wz_vapor, include_advection=False)
+    elif fastcirc is not None:
+        # coefficient-folded fast path (batched Ta, q along the F axis)
+        plan, const, cf_t = fastcirc
+        x2 = jnp.stack([state.ta, state.q], axis=-3)
+        dx2 = fc.circulation(x2, cf_t, const, plan, nsub,
+                             unroll=unroll_circ)
+        dta_crcl = dx2[..., 0, :, :]
+        dq_crcl = dx2[..., 1, :, :]
     else:
         # batch (Ta, q) along a leading axis: one fused circulation
         x2 = jnp.stack([state.ta, state.q], axis=-3)
@@ -152,11 +166,13 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
 def scenario_step(state: ModelState, fx: StepForcing, corr_t, co2,
                   md: ModelData, st: stc.StencilStatic, num: Numerics,
                   exp: Experiment, extend: stc.Extend = stc.extend_lat_zero,
-                  unroll_circ: bool = False) -> Tuple[ModelState, StepOutputs]:
+                  unroll_circ: bool = False,
+                  fastcirc=None) -> Tuple[ModelState, StepOutputs]:
     if exp.sst_plus_one:  # legacy exp 14-16 (greb.original.model.f90:225-226)
         state = state.replace(ts=jnp.where(md.z_topo < 0.0, fx.tclim + 1.0,
                                            state.ts))
-    ten = compute_tendencies(state, fx, co2, md, st, num, exp, extend, unroll_circ)
+    ten = compute_tendencies(state, fx, co2, md, st, num, exp, extend,
+                             unroll_circ, fastcirc)
     tf_t, tof_t, qf_t = corr_t
     dt = F32(num.dt)
 
@@ -185,8 +201,9 @@ def scenario_step(state: ModelState, fx: StepForcing, corr_t, co2,
 def fluxcorr_step(state: ModelState, fx: StepForcing, co2,
                   md: ModelData, st: stc.StencilStatic, num: Numerics,
                   exp: Experiment, extend: stc.Extend = stc.extend_lat_zero,
-                  unroll_circ: bool = False):
-    ten = compute_tendencies(state, fx, co2, md, st, num, exp, extend, unroll_circ)
+                  unroll_circ: bool = False, fastcirc=None):
+    ten = compute_tendencies(state, fx, co2, md, st, num, exp, extend,
+                             unroll_circ, fastcirc)
     dt = F32(num.dt)
     cap = state.cap_surf
     dts = dt * (ten.sw + ten.lw_surf - ten.lwair_down + ten.q_lat
@@ -227,14 +244,22 @@ class YearDiag(NamedTuple):
 def run_year_fluxcorr(state: ModelState, sfx: StepForcing, co2, md: ModelData,
                       st: stc.StencilStatic, num: Numerics, exp: Experiment,
                       extend: stc.Extend = stc.extend_lat_zero,
-                      unroll_circ: bool = False):
+                      unroll_circ: bool = False, fastcirc=None):
     """One year of the spin-up; returns the 730-slot correction tables
     (each year of the reference loop fully overwrites them, so only the
     final year's tables matter; src/greb.f90:325-362)."""
-    def body(s, fx):
-        return fluxcorr_step(s, fx, co2, md, st, num, exp, extend, unroll_circ)
+    plan = const = None
+    if fastcirc is not None:
+        plan, const, coeffs = fastcirc
 
-    state, (tf, tof, qf) = jax.lax.scan(body, state, sfx)
+    def body(s, xs):
+        fx, cf_t = xs
+        fcirc = (plan, const, cf_t) if cf_t is not None else None
+        return fluxcorr_step(s, fx, co2, md, st, num, exp, extend,
+                             unroll_circ, fcirc)
+
+    xs = (sfx, coeffs if fastcirc is not None else None)
+    state, (tf, tof, qf) = jax.lax.scan(body, state, xs)
     return state, Corrections(tf=tf, tof=tof, qf=qf)
 
 
@@ -243,7 +268,8 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
                       exp: Experiment, month_mat: jax.Array,
                       extend: stc.Extend = stc.extend_lat_zero,
                       unroll_circ: bool = False,
-                      with_outputs: bool = True):
+                      with_outputs: bool = True,
+                      fastcirc=None):
     """One scenario year.
 
     Returns (state, monthly(12,5,y,x), annual-mean StepOutputs).
@@ -259,12 +285,16 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
     nmon = month_mat.shape[0]
     m_idx = jnp.argmax(month_mat, axis=0).astype(jnp.int32)     # (t,)
     m_w = jnp.take_along_axis(month_mat, m_idx[None, :], axis=0)[0]  # (t,)
+    plan = const = coeffs = None
+    if fastcirc is not None:
+        plan, const, coeffs = fastcirc
 
     def body(carry, xs):
         s, monthly, sums = carry
-        fx, corr_t, mi, mw = xs
+        fx, corr_t, mi, mw, cf_t = xs
+        fcirc = (plan, const, cf_t) if cf_t is not None else None
         s2, out = scenario_step(s, fx, corr_t, co2, md, st, num, exp, extend,
-                                unroll_circ)
+                                unroll_circ, fcirc)
         if with_outputs:
             f5 = jnp.stack([out.ts, out.ta, out.to, out.q, out.albedo],
                            axis=-3)
@@ -282,7 +312,7 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
 
     (state, monthly, sums), _ = jax.lax.scan(
         body, (state, monthly0, sums0),
-        (sfx, (corr.tf, corr.tof, corr.qf), m_idx, m_w))
+        (sfx, (corr.tf, corr.tof, corr.qf), m_idx, m_w, coeffs))
 
     if not with_outputs:
         return state, None, None

@@ -65,6 +65,7 @@ class GREB:
         self._jit_cache = {}
         self._sf_np = sf_np
         self._packs = None  # lazy (fpack, sw, cpack) for the Pallas path
+        self._fastcirc = None  # lazy (FastPlan, FastConst, FastCoeffs)
 
     # -- factory ------------------------------------------------------------
     @classmethod
@@ -72,28 +73,67 @@ class GREB:
         cfg, params = config_from_namelist(path)
         return cls(cfg, params=params, **kw)
 
+    # -- fast-circulation coefficient tables ----------------------------------
+    def fastcirc_tables(self):
+        """Lazy (FastPlan, FastConst, FastCoeffs) for the coefficient-folded
+        circulation; None when disabled or unsupported (legacy transport
+        overrides change the circulation operator itself)."""
+        if not self.cfg.fast_circulation:
+            return None
+        e = self.exp
+        if e.circulation_off or e.vapor_circulation_off or e.vapor_diffusion_only:
+            return None
+        if self._fastcirc is None:
+            from ..ops import fastcirc as fc
+            self._fastcirc = fc.build_tables(
+                np.asarray(self.sfx.u), np.asarray(self.sfx.v),
+                np.asarray(self.derived.wz_air),
+                np.asarray(self.derived.wz_vapor),
+                self.grid, self.st, kappa=float(self.params.kappa))
+        return self._fastcirc
+
+    def _fastcirc_split(self):
+        """(static plan, device-array data) — the data must travel as jit
+        ARGUMENTS (a closure constant of this size would be serialized into
+        the compile request)."""
+        fcirc = self.fastcirc_tables()
+        if fcirc is None:
+            return None, None
+        plan, const, coeffs = fcirc
+        return plan, (const, coeffs)
+
     # -- jitted year runners --------------------------------------------------
     def _year_fluxcorr(self):
         if "flux" not in self._jit_cache:
+            plan, _ = self._fastcirc_split()
             f = functools.partial(core.run_year_fluxcorr, st=self.st,
                                   num=self.num, exp=self.exp,
                                   extend=self._extend,
                                   unroll_circ=self.cfg.unroll_circulation)
-            self._jit_cache["flux"] = jax.jit(
-                lambda state, sfx, co2, md: f(state, sfx, co2, md))
+
+            def wrapper(state, sfx, co2, md, fcdata=None):
+                fcirc = ((plan,) + tuple(fcdata)) if fcdata is not None else None
+                return f(state, sfx, co2, md, fastcirc=fcirc)
+
+            self._jit_cache["flux"] = jax.jit(wrapper)
         return self._jit_cache["flux"]
 
     def _year_scenario(self, with_outputs: bool = True):
         key = ("scnr", with_outputs)
         if key not in self._jit_cache:
+            plan, _ = self._fastcirc_split()
             f = functools.partial(core.run_year_scenario, st=self.st,
                                   num=self.num, exp=self.exp,
                                   month_mat=self.month_mat,
                                   extend=self._extend,
                                   unroll_circ=self.cfg.unroll_circulation,
                                   with_outputs=with_outputs)
-            self._jit_cache[key] = jax.jit(
-                lambda state, sfx, corr, co2, md: f(state, sfx, corr, co2, md))
+
+            def wrapper(state, sfx, corr, co2, md, fcdata=None):
+                fcirc = ((plan,) + tuple(fcdata)) if fcdata is not None else None
+                return f(state, sfx, corr, co2, md, fastcirc=fcirc)
+
+            self._jit_cache[key] = jax.jit(wrapper)
         return self._jit_cache[key]
 
     # -- fused Pallas year runners (single-model TPU fast path) --------------
@@ -105,11 +145,18 @@ class GREB:
             self._packs = (fpack, sw, cpack)
         return self._packs
 
+    def _pallas_fast_args(self):
+        """Fast-circulation device arrays for the Pallas runners (passed as
+        call arguments, never as jit closure constants)."""
+        from ..ops.pallas import year_kernel as yk
+        return yk._fast_args(self.fastcirc_tables())
+
     def _year_fluxcorr_pallas(self):
         if "flux_pl" not in self._jit_cache:
             from ..ops.pallas import year_kernel as yk
             run = yk.build_fluxcorr_year(self.md, self.st, self._sf_np,
-                                         self.num, self.exp)
+                                         self.num, self.exp,
+                                         fastcirc=self.fastcirc_tables())
             self._jit_cache["flux_pl"] = jax.jit(run)
         return self._jit_cache["flux_pl"]
 
@@ -117,12 +164,13 @@ class GREB:
         if "scnr_pl" not in self._jit_cache:
             from ..ops.pallas import year_kernel as yk
             run_kernel = yk.build_scenario_year(self.md, self.st, self._sf_np,
-                                                self.num, self.exp)
+                                                self.num, self.exp,
+                                                fastcirc=self.fastcirc_tables())
             month_mat = self.month_mat
 
-            def run(state, fpack, sw, cpack, corrpack, co2):
+            def run(state, fpack, sw, cpack, corrpack, co2, *fast_args):
                 state, outs = run_kernel(state, fpack, sw, cpack, corrpack,
-                                         co2)
+                                         co2, *fast_args)
                 # monthly means: (12,t) @ (t,5,y,x) — one MXU contraction
                 monthly = jnp.einsum('mt,tvyx->mvyx', month_mat, outs[:, :5],
                                      preferred_element_type=jnp.float32)
@@ -156,15 +204,18 @@ class GREB:
         if self.cfg.use_pallas:
             fpack, sw, cpack = self._pallas_packs()
             runner = self._year_fluxcorr_pallas()
+            fast_args = self._pallas_fast_args()
             for _ in range(num.time_flux):
-                state, corrpack = runner(state, fpack, sw, cpack, co2v)
+                state, corrpack = runner(state, fpack, sw, cpack, co2v,
+                                         *fast_args)
             if num.time_flux > 0:
                 corr = Corrections(tf=corrpack[:, 0], tof=corrpack[:, 1],
                                    qf=corrpack[:, 2])
             return state, corr
         runner = self._year_fluxcorr()
+        _, fcdata = self._fastcirc_split()
         for _ in range(num.time_flux):
-            state, corr = runner(state, self.sfx, co2v, self.md)
+            state, corr = runner(state, self.sfx, co2v, self.md, fcdata)
         return state, corr
 
     def run_scenario(self, corr: Corrections,
@@ -201,11 +252,17 @@ class GREB:
             fpack, sw, cpack = self._pallas_packs()
             corrpack = jnp.stack([corr.tf, corr.tof, corr.qf], axis=1)
             pl_runner = self._year_scenario_pallas()
+            fast_args = self._pallas_fast_args()
 
             def runner(state, _sfx, _corr, co2, _md):
-                return pl_runner(state, fpack, sw, cpack, corrpack, co2)
+                return pl_runner(state, fpack, sw, cpack, corrpack, co2,
+                                 *fast_args)
         else:
-            runner = self._year_scenario(with_outputs=collect_monthly)
+            jit_runner = self._year_scenario(with_outputs=collect_monthly)
+            _, fcdata = self._fastcirc_split()
+
+            def runner(state, sfx, corr, co2, md):
+                return jit_runner(state, sfx, corr, co2, md, fcdata)
         if self.verbose:
             print(f"% MODEL RUN; years = {years}")
             print("console output: year, co2, global avg temp, "

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import Experiment, Numerics, PhysicsParams
 from ...forcing import Corrections, Derived, ModelState
 from ...model import core
+from ...ops import fastcirc as fcirc
 from ...ops import stencils as stc
 
 F32 = np.float32
@@ -131,13 +132,43 @@ def _state_to_refs(s_ref, out_state_ref, state: ModelState) -> None:
         out_state_ref[i] = v
 
 
+
+def _fast_in_specs(fastcirc):
+    """Extra BlockSpecs for the streamed fast-circulation coefficient tables
+    (zc, c0, mc, pac per step) + resident constants (pdc, wz_band)."""
+    if fastcirc is None:
+        return []
+    plan, const, coeffs = fastcirc
+    t, _, f, y, x = coeffs.zc.shape
+    b = coeffs.pac.shape[-2]
+    return [
+        pl.BlockSpec((1, 6, f, y, x), lambda t: (t, 0, 0, 0, 0)),   # zc
+        pl.BlockSpec((1, f, y, x), lambda t: (t, 0, 0, 0)),          # c0
+        pl.BlockSpec((1, 4, f, y, x), lambda t: (t, 0, 0, 0, 0)),   # mc
+        pl.BlockSpec((1, 7, f, b, x), lambda t: (t, 0, 0, 0, 0)),   # pac
+        pl.BlockSpec((7, f, b, x), lambda t: (0, 0, 0, 0)),          # pdc
+        pl.BlockSpec((f, b, x), lambda t: (0, 0, 0)),                # wz_band
+        pl.BlockSpec(const.pcomp.shape, lambda t: (0, 0, 0, 0)),     # pcomp
+    ]
+
+
+def _fast_args(fastcirc):
+    if fastcirc is None:
+        return ()
+    plan, const, coeffs = fastcirc
+    return (coeffs.zc, coeffs.c0, coeffs.mc, coeffs.pac,
+            const.pdc, const.wz_band, const.pcomp)
+
+
 def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                         sf_np: stc.StencilFields, num: Numerics,
                         exp: Experiment, interpret: bool = False,
-                        circ_unroll: int = 1):
+                        circ_unroll: int = 1, fastcirc=None):
     """Returns fn(state, fpack, sw, cpack, corrpack, co2) ->
     (final_state (5,y,x), outs (t, 9, y, x)) running one scenario year in a
-    single fused kernel."""
+    single fused kernel.  With ``fastcirc=(FastPlan, FastConst, FastCoeffs)``
+    the circulation uses the coefficient-folded path, with the per-step
+    coefficient tables streamed HBM->VMEM by the Pallas pipeline."""
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
     md_c = core.ModelData(params=concrete_params(md.params),
                           derived=Derived(
@@ -152,8 +183,21 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     n_adv = sf_np.adv_itm.shape[0]
     n_sfp = 7 + n_diff + n_adv
 
+    plan = fastcirc[0] if fastcirc is not None else None
+
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
-               corr_ref, out_state_ref, outs_ref, s_scr):
+               corr_ref, *rest):
+        if fastcirc is not None:
+            (zc_ref, c0_ref, mc_ref, pac_ref, pdc_ref, wzb_ref, pcomp_ref,
+             out_state_ref, outs_ref, s_scr) = rest
+            fc_t = (plan,
+                    fcirc.FastConst(pdc=pdc_ref[...], wz_band=wzb_ref[...],
+                                    pcomp=pcomp_ref[...]),
+                    fcirc.FastCoeffs(zc=zc_ref[0], c0=c0_ref[0],
+                                     mc=mc_ref[0], pac=pac_ref[0]))
+        else:
+            out_state_ref, outs_ref, s_scr = rest
+            fc_t = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -168,7 +212,8 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
 
         new_state, outs = core.scenario_step(state, fx, corr_t, co2, mdk, st,
                                              num, exp,
-                                             unroll_circ=circ_unroll)
+                                             unroll_circ=circ_unroll,
+                                             fastcirc=fc_t)
         _state_to_refs(s_scr, out_state_ref, new_state)
         for i, f in enumerate(core.StepOutputs._fields):
             outs_ref[0, i] = getattr(outs, f)
@@ -186,7 +231,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                          lambda t: (0, 0, 0)),                     # consts
             pl.BlockSpec((n_sfp, y, 1), lambda t: (0, 0, 0)),      # stencil rows
             pl.BlockSpec((1, 3, y, x), lambda t: (t, 0, 0, 0)),    # corr
-        ],
+        ] + _fast_in_specs(fastcirc),
         out_specs=[
             pl.BlockSpec((5, y, x), lambda t: (0, 0, 0)),          # final state
             pl.BlockSpec((1, N_OUT, y, x), lambda t: (t, 0, 0, 0)),  # outs
@@ -208,12 +253,13 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
 
     sfpack = pack_stencil_fields(sf_np)
 
-    def run(state: ModelState, fpack, sw, cpack, corrpack, co2):
+    def run(state: ModelState, fpack, sw, cpack, corrpack, co2,
+            *fast_args):
         state5 = jnp.stack([state.ts, state.ta, state.to, state.q,
                             state.cap_surf])
         co2s = jnp.full((1, 1), co2, jnp.float32)
         out_state, outs = call(co2s, state5, fpack, sw, cpack, sfpack,
-                               corrpack)
+                               corrpack, *fast_args)
         new_state = ModelState(ts=out_state[0], ta=out_state[1],
                                to=out_state[2], q=out_state[3],
                                cap_surf=out_state[4])
@@ -225,7 +271,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
 def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
                         sf_np: stc.StencilFields, num: Numerics,
                         exp: Experiment, interpret: bool = False,
-                        circ_unroll: int = 1):
+                        circ_unroll: int = 1, fastcirc=None):
     """Returns fn(state, fpack, sw, cpack, co2) ->
     (final_state (5,y,x), corr (t, 3, y, x)) — one spin-up year fused."""
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
@@ -242,8 +288,21 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
     n_adv = sf_np.adv_itm.shape[0]
     n_sfp = 7 + n_diff + n_adv
 
+    plan = fastcirc[0] if fastcirc is not None else None
+
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
-               out_state_ref, corr_ref, s_scr):
+               *rest):
+        if fastcirc is not None:
+            (zc_ref, c0_ref, mc_ref, pac_ref, pdc_ref, wzb_ref, pcomp_ref,
+             out_state_ref, corr_ref, s_scr) = rest
+            fc_t = (plan,
+                    fcirc.FastConst(pdc=pdc_ref[...], wz_band=wzb_ref[...],
+                                    pcomp=pcomp_ref[...]),
+                    fcirc.FastCoeffs(zc=zc_ref[0], c0=c0_ref[0],
+                                     mc=mc_ref[0], pac=pac_ref[0]))
+        else:
+            out_state_ref, corr_ref, s_scr = rest
+            fc_t = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -256,7 +315,8 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
         co2 = co2_ref[0, 0]
 
         new_state, (tf, tof, qf) = core.fluxcorr_step(
-            state, fx, co2, mdk, st, num, exp, unroll_circ=circ_unroll)
+            state, fx, co2, mdk, st, num, exp, unroll_circ=circ_unroll,
+            fastcirc=fc_t)
         _state_to_refs(s_scr, out_state_ref, new_state)
         corr_ref[0, 0] = tf
         corr_ref[0, 1] = tof
@@ -273,7 +333,7 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
             pl.BlockSpec((1, y, 1), lambda t: (t, 0, 0)),
             pl.BlockSpec((len(_CONST_FIELDS), y, x), lambda t: (0, 0, 0)),
             pl.BlockSpec((n_sfp, y, 1), lambda t: (0, 0, 0)),      # stencil rows
-        ],
+        ] + _fast_in_specs(fastcirc),
         out_specs=[
             pl.BlockSpec((5, y, x), lambda t: (0, 0, 0)),
             pl.BlockSpec((1, 3, y, x), lambda t: (t, 0, 0, 0)),
@@ -295,11 +355,12 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
 
     sfpack = pack_stencil_fields(sf_np)
 
-    def run(state: ModelState, fpack, sw, cpack, co2):
+    def run(state: ModelState, fpack, sw, cpack, co2, *fast_args):
         state5 = jnp.stack([state.ts, state.ta, state.to, state.q,
                             state.cap_surf])
         co2s = jnp.full((1, 1), co2, jnp.float32)
-        out_state, corrpack = call(co2s, state5, fpack, sw, cpack, sfpack)
+        out_state, corrpack = call(co2s, state5, fpack, sw, cpack, sfpack,
+                                   *fast_args)
         new_state = ModelState(ts=out_state[0], ta=out_state[1],
                                to=out_state[2], q=out_state[3],
                                cap_surf=out_state[4])

@@ -62,25 +62,57 @@ def ensemble_initial_state(params_batched: PhysicsParams,
         params_batched, md.derived)
 
 
+# Params whose perturbation changes the circulation OPERATOR itself — the
+# shared fast-circulation coefficient tables are invalid if any of these
+# varies across members (kappa scales the stencils; z_air/z_vapor set the
+# wz topography weights baked into the coefficients; pi sets grid metrics).
+TRANSPORT_PARAM_KEYS = frozenset({"kappa", "z_air", "z_vapor", "pi"})
+
+
+def fastcirc_shareable(perturb_keys) -> bool:
+    """True if one fast-circulation coefficient table can serve all members
+    perturbed over ``perturb_keys``."""
+    return not (set(perturb_keys) & TRANSPORT_PARAM_KEYS)
+
+
 def make_ensemble_runners(st, num, exp, month_mat, extend=None,
-                          unroll_circ: bool = False):
+                          unroll_circ: bool = False, fast_plan=None):
     """Returns jitted (fluxcorr_year, scenario_year) vmapped over members.
 
-    fluxcorr_year(state_B, sfx, co2_scalar, md_B) -> (state_B, corr_B)
-    scenario_year(state_B, sfx, corr_B, co2_scalar, md_B)
+    fluxcorr_year(state_B, sfx, co2_scalar, md_B, fcdata=None)
+        -> (state_B, corr_B)
+    scenario_year(state_B, sfx, corr_B, co2_scalar, md_B, fcdata=None)
         -> (state_B, monthly_B, mean_fields_B)
-    """
+
+    ``fcdata = (FastConst, FastCoeffs)`` (with the matching static
+    ``fast_plan``) enables the coefficient-folded circulation SHARED across
+    members — only valid when no transport parameter is perturbed
+    (fastcirc_shareable); tables are broadcast, never batched."""
     from ..ops import stencils as stc
     extend = extend or stc.extend_lat_zero
 
-    def flux_one(state, sfx, co2, md):
+    def _fcirc(fcdata):
+        return ((fast_plan,) + tuple(fcdata)) if fcdata is not None else None
+
+    def flux_one(state, sfx, co2, md, fcdata):
         return core.run_year_fluxcorr(state, sfx, co2, md, st, num, exp,
-                                      extend, unroll_circ)
+                                      extend, unroll_circ,
+                                      fastcirc=_fcirc(fcdata))
 
-    def scnr_one(state, sfx, corr, co2, md):
+    def scnr_one(state, sfx, corr, co2, md, fcdata):
         return core.run_year_scenario(state, sfx, corr, co2, md, st, num,
-                                      exp, month_mat, extend, unroll_circ)
+                                      exp, month_mat, extend, unroll_circ,
+                                      fastcirc=_fcirc(fcdata))
 
-    flux_v = jax.jit(jax.vmap(flux_one, in_axes=(0, None, None, _MD_AXES)))
-    scnr_v = jax.jit(jax.vmap(scnr_one, in_axes=(0, None, 0, None, _MD_AXES)))
-    return flux_v, scnr_v
+    flux_v = jax.jit(jax.vmap(flux_one,
+                              in_axes=(0, None, None, _MD_AXES, None)))
+    scnr_v = jax.jit(jax.vmap(scnr_one,
+                              in_axes=(0, None, 0, None, _MD_AXES, None)))
+
+    def flux_call(state, sfx, co2, md, fcdata=None):
+        return flux_v(state, sfx, co2, md, fcdata)
+
+    def scnr_call(state, sfx, corr, co2, md, fcdata=None):
+        return scnr_v(state, sfx, corr, co2, md, fcdata)
+
+    return flux_call, scnr_call

@@ -1,0 +1,130 @@
+"""Fast (coefficient-folded) circulation vs the strict stencil path.
+
+The fast path regroups the same float32 formulas (reference
+src/greb.f90:528-915), so agreement is to float32 rounding, not bit-exact:
+per-substep increments match to ~1e-6 relative and whole-year integrations
+stay allclose at climate-irrelevant tolerances."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from greb_tpu.ops import fastcirc as fc
+from greb_tpu.ops import stencils as stc
+
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def fast(setup):
+    u = np.asarray(setup.sfx.u)
+    v = np.asarray(setup.sfx.v)
+    wz_air = np.asarray(setup.derived.wz_air)
+    wz_vapor = np.asarray(setup.derived.wz_vapor)
+    plan, const, coeffs = fc.build_tables(
+        u, v, wz_air, wz_vapor, setup.grid, setup.st,
+        kappa=float(setup.params.kappa))
+    return plan, const, coeffs
+
+
+def _strict_circ(setup, x2, ityr, nsub):
+    fx = setup.fx(ityr)
+    u_m = jnp.maximum(fx.u, 0.0)
+    u_p = jnp.minimum(fx.u, 0.0)
+    v_m = jnp.maximum(fx.v, 0.0)
+    v_p = jnp.minimum(fx.v, 0.0)
+    wz2 = jnp.stack([setup.derived.wz_air, setup.derived.wz_vapor])
+    return stc.circulation(x2, wz2, u_m, u_p, v_m, v_p, setup.st, setup.sf,
+                           setup.params.kappa, nsub=nsub, unroll=True)
+
+
+def _state_x2(setup):
+    s = setup.state0()
+    return jnp.stack([s.ta, s.q])
+
+
+def _assert_fields_close(x2, got, want, rtol, name=""):
+    """Compare the UPDATED fields: the folded path regroups float32 sums, so
+    x + dx differs by a few ULPs of x (≈3e-5 absolute for Ta≈250 K) — the
+    increments themselves agree to that rounding."""
+    a = np.asarray(x2 + got)
+    b = np.asarray(x2 + want)
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=0.0, err_msg=name)
+
+
+@pytest.mark.parametrize("ityr", [0, 181, 365, 729])
+def test_single_substep_matches_strict(setup, fast, ityr):
+    plan, const, coeffs = fast
+    x2 = _state_x2(setup)
+    cf = jax.tree.map(lambda a: a[ityr], coeffs)
+    got = fc.substep(x2, cf, const, plan) - x2
+    want = _strict_circ(setup, x2, ityr, nsub=1)
+    _assert_fields_close(x2, got, want, rtol=2e-6)
+
+
+@pytest.mark.parametrize("ityr", [0, 365])
+def test_full_circulation_matches_strict(setup, fast, ityr):
+    plan, const, coeffs = fast
+    x2 = _state_x2(setup)
+    cf = jax.tree.map(lambda a: a[ityr], coeffs)
+    got = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
+    want = _strict_circ(setup, x2, ityr, nsub=24)
+    _assert_fields_close(x2, got, want, rtol=3e-5)
+
+
+def test_clamp_semantics_near_zero_q(setup, fast):
+    """The polar positivity clamps are the only nonlinearity; force them to
+    fire by making q tiny at the poles and check both paths agree."""
+    plan, const, coeffs = fast
+    s = setup.state0()
+    q = np.asarray(s.q).copy()
+    q[:3, :] = 1e-9
+    q[-3:, :] = 1e-9
+    ta = np.asarray(s.ta).copy()
+    x2 = jnp.stack([jnp.asarray(ta), jnp.asarray(q)])
+    cf = jax.tree.map(lambda a: a[400], coeffs)
+    got = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
+    want = _strict_circ(setup, x2, 400, nsub=24)
+    # q stays positive under both
+    assert float((np.asarray(x2 + got)[1]).min()) > 0.0
+    _assert_fields_close(x2, got, want, rtol=3e-5)
+
+
+def test_fori_loop_equals_unrolled(setup, fast):
+    plan, const, coeffs = fast
+    x2 = _state_x2(setup)
+    cf = jax.tree.map(lambda a: a[7], coeffs)
+    a = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
+    b = fc.circulation(x2, cf, const, plan, nsub=24, unroll=False)
+    c = fc.circulation(x2, cf, const, plan, nsub=24, unroll=6)
+    # XLA may fuse the rolled loop body differently from the unrolled code,
+    # so agreement is to rounding, not bit-exact
+    _assert_fields_close(x2, a, b, rtol=3e-5)
+    _assert_fields_close(x2, a, c, rtol=3e-5)
+
+
+def test_driver_year_fast_matches_strict(forcing_np):
+    """Full model (flux-correction year + scenario year): fast vs strict
+    monthly means stay allclose at climate-irrelevant tolerances."""
+    from greb_tpu.config import GrebConfig, Numerics
+    from greb_tpu.forcing import forcing_from_arrays
+    from greb_tpu.model.driver import GREB
+
+    num = Numerics(time_flux=1, time_scnr=1)
+    results = {}
+    for fastf in (False, True):
+        m = GREB(GrebConfig(numerics=num, fast_circulation=fastf),
+                 forcing=forcing_from_arrays(forcing_np), verbose=False)
+        state_fc, corr = m.flux_correction()
+        state, monthly, _ = m.run_scenario(corr, cap_surf=state_fc.cap_surf)
+        results[fastf] = (np.asarray(monthly), np.asarray(state.ts))
+    m_strict, ts_strict = results[False]
+    m_fast, ts_fast = results[True]
+    # temperatures ~250 K: mK-level agreement after 1460 steps; q ~1e-3
+    np.testing.assert_allclose(m_fast[..., :3, :, :], m_strict[..., :3, :, :],
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(m_fast[..., 3, :, :], m_strict[..., 3, :, :],
+                               rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(m_fast[..., 4, :, :], m_strict[..., 4, :, :],
+                               rtol=0, atol=2e-4)  # albedo
+    np.testing.assert_allclose(ts_fast, ts_strict, rtol=0, atol=1e-2)

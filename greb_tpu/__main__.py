@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--legacy", action="store_true",
                    help="legacy experiment workflow (log_exp switchboard)")
+    p.add_argument("--strict-circulation", action="store_true",
+                   help="strict term-by-term stencils instead of the "
+                        "coefficient-folded fast circulation (bit-level "
+                        "fidelity mode; ~5x slower on TPU)")
+    p.add_argument("--plots", default=None, metavar="PREFIX",
+                   help="after the run, write the reference README's figure "
+                        "set (warming curve, Arctic albedo, dTsurf, inputs) "
+                        "as PREFIX_*.png")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -66,9 +74,14 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(
             cfg, diagnostics=dataclasses.replace(cfg.diagnostics,
                                                  output_file=args.output))
+    import dataclasses
     if args.pallas:
-        import dataclasses
         cfg = dataclasses.replace(cfg, use_pallas=True)
+    # the coefficient-folded circulation is the production default for the
+    # CLI (validated allclose vs the strict path; tests/test_fastcirc.py);
+    # legacy experiments fall back automatically where unsupported
+    cfg = dataclasses.replace(cfg,
+                              fast_circulation=not args.strict_circulation)
 
     input_dir = None if args.synthetic else args.input_dir
     model = GREB(cfg, params=params, input_dir=input_dir,
@@ -80,14 +93,26 @@ def main(argv=None) -> int:
         os.makedirs(out_dir, exist_ok=True)
 
     t0 = time.perf_counter()
+    monthly = diags = None
     if args.legacy:
         run_legacy(model, out_path, quiet=args.quiet)
     elif args.checkpoint_dir:
         run_checkpointed(model, out_path, args)
     else:
-        model.run(output_path=out_path)
+        _, _, monthly, diags = model.run(output_path=out_path)
     if not args.quiet:
         print(f"% total wall time {time.perf_counter() - t0:.2f}s")
+    if args.plots:
+        if monthly is None:
+            from .io.binio import read_output
+            import numpy as np
+            back = read_output(out_path, model.num.xdim, model.num.ydim)
+            monthly = back.reshape(-1, 12, 5, model.num.ydim, model.num.xdim)
+        from . import plots as figs
+        paths = figs.save_all(args.plots, monthly, diags=diags,
+                              forcing=model.forcing)
+        if not args.quiet:
+            print("% figures: " + " ".join(paths))
     return 0
 
 

@@ -174,9 +174,13 @@ class GREB:
                 # monthly means: (12,t) @ (t,5,y,x) — one MXU contraction
                 monthly = jnp.einsum('mt,tvyx->mvyx', month_mat, outs[:, :5],
                                      preferred_element_type=jnp.float32)
-                mean_fields = core.StepOutputs(
-                    *[outs[:, i].mean(axis=0)
-                      for i in range(len(core.StepOutputs._fields))])
+                # the kernel streams the 5 reference output vars; the 4
+                # console-diagnostic extras are zero-filled (XLA-path only)
+                n_out = outs.shape[1]
+                zero = jnp.zeros_like(outs[:, 0].mean(axis=0))
+                means = [outs[:, i].mean(axis=0) if i < n_out else zero
+                         for i in range(len(core.StepOutputs._fields))]
+                mean_fields = core.StepOutputs(*means)
                 return state, monthly, mean_fields
 
             self._jit_cache["scnr_pl"] = jax.jit(run)

@@ -44,7 +44,12 @@ F32 = np.float32
 _FORCING_FIELDS = ("tclim", "qclim", "swet", "u", "v", "mld", "mld_prev", "cld")
 # constant (y, x) fields, in pack order
 _CONST_FIELDS = ("z_topo", "glacier", "wz_air", "wz_vapor", "z_ocean", "toclim")
-N_OUT = len(core.StepOutputs._fields)  # 9
+# The scenario kernel streams only the 5 output variables the reference
+# writes (Tsurf, Tair, Tocean, q, albedo; src/greb.f90:978-982).  The 4
+# console-diagnostic extras (sw, lw_surf, q_lat, q_sens annual means) are
+# an XLA-path feature; streaming them measured +0.5 us/step for data the
+# reference never outputs.
+N_OUT = 5
 
 
 def concrete_params(params: PhysicsParams) -> PhysicsParams:
@@ -215,7 +220,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                                              unroll_circ=circ_unroll,
                                              fastcirc=fc_t)
         _state_to_refs(s_scr, out_state_ref, new_state)
-        for i, f in enumerate(core.StepOutputs._fields):
+        for i, f in enumerate(core.StepOutputs._fields[:N_OUT]):
             outs_ref[0, i] = getattr(outs, f)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -101,6 +101,31 @@ def main() -> None:
             print(f"# {mname} path failed ({type(e).__name__}: {e}); "
                   f"using xla", file=sys.stderr)
 
+    # --- refined grid (config 4 of BASELINE.json) ---------------------------
+    grid_env = os.environ.get("GREB_BENCH_GRID", "")
+    if grid_env:
+        gx, gy = (int(s) for s in grid_env.lower().split("x"))
+        from greb_tpu.forcing import forcing_from_arrays
+        from greb_tpu.io.synthetic import make_synthetic_forcing
+        from greb_tpu.regrid import regrid_forcing_arrays
+        gnum = Numerics(xdim=gx, ydim=gy, time_flux=1, time_scnr=3)
+        arrs = make_synthetic_forcing(96, 48, gnum.nstep_yr, gnum.ndays_yr)
+        gforc = forcing_from_arrays(regrid_forcing_arrays(arrs, gnum))
+        gm = GREB(GrebConfig(numerics=gnum, fast_circulation=True),
+                  forcing=gforc, verbose=False)
+        _, fcdata = gm._fastcirc_split()
+        sfc, corr_g = gm.flux_correction()
+        jr = gm._year_scenario(with_outputs=True)
+
+        def run_g(s):
+            return jr(s, gm.sfx, corr_g, co2, gm.md, fcdata)[0]
+
+        rate = _steady_rate(run_g, sfc, max(3, bench_years // 5))
+        pts = gx * gy * 730 * rate
+        print(f"# grid[{gx}x{gy}]: {rate:.2f} sim-yr/s "
+              f"({pts / 1e6:.0f} M point-steps/s)", file=sys.stderr)
+        results[f"grid[{grid_env}]"] = rate
+
     # --- vmapped ensemble aggregate (config 3 of BASELINE.json) -------------
     n_ens = int(os.environ.get("GREB_BENCH_ENS", "0"))
     if n_ens > 0:
@@ -135,7 +160,7 @@ def main() -> None:
     # headline = best SINGLE-RUN rate (ensemble aggregate is a different
     # metric, reported on stderr only)
     single = {k: v for k, v in results.items()
-              if not k.startswith("ensemble")}
+              if not (k.startswith("ensemble") or k.startswith("grid["))}
     best_mode, best = max(single.items(), key=lambda kv: kv[1])
     dev = jax.devices()[0]
     print(f"# best={best_mode} on {dev.platform}:{dev.device_kind}; "

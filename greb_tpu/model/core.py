@@ -104,9 +104,10 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
                        fastcirc=None) -> Tendencies:
     """Reference: tendencies, src/greb.f90:277-308.
 
-    ``fastcirc`` is an optional ``(FastPlan, FastConst, FastCoeffs-at-step)``
-    triple; when given (and no legacy transport override is active) the
-    circulation uses the coefficient-folded fast path (ops/fastcirc.py)."""
+    ``fastcirc`` is an optional ``(FastPlan, FastConst)`` pair; when given
+    (and no legacy transport override is active) the circulation uses the
+    coefficient-folded fast path (ops/fastcirc.py), assembling the step's
+    coefficients on device from the constants and this step's winds."""
     p, d = md.params, md.derived
     swr = pw.shortwave(state.ts, fx.cld, fx.sw_solar, md.z_topo, md.glacier, p, exp)
     lwr = pw.longwave(state.ts, state.ta, state.q, co2, fx.cld, fx.tclim,
@@ -136,7 +137,8 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
         dq_crcl = circ(state.q, d.wz_vapor, include_advection=False)
     elif fastcirc is not None:
         # coefficient-folded fast path (batched Ta, q along the F axis)
-        plan, const, cf_t = fastcirc
+        plan, const = fastcirc
+        cf_t = fc.step_coeffs(fx.u, fx.v, const, plan)
         x2 = jnp.stack([state.ta, state.q], axis=-3)
         dx2 = fc.circulation(x2, cf_t, const, plan, nsub,
                              unroll=unroll_circ)
@@ -248,18 +250,11 @@ def run_year_fluxcorr(state: ModelState, sfx: StepForcing, co2, md: ModelData,
     """One year of the spin-up; returns the 730-slot correction tables
     (each year of the reference loop fully overwrites them, so only the
     final year's tables matter; src/greb.f90:325-362)."""
-    plan = const = None
-    if fastcirc is not None:
-        plan, const, coeffs = fastcirc
-
-    def body(s, xs):
-        fx, cf_t = xs
-        fcirc = (plan, const, cf_t) if cf_t is not None else None
+    def body(s, fx):
         return fluxcorr_step(s, fx, co2, md, st, num, exp, extend,
-                             unroll_circ, fcirc)
+                             unroll_circ, fastcirc)
 
-    xs = (sfx, coeffs if fastcirc is not None else None)
-    state, (tf, tof, qf) = jax.lax.scan(body, state, xs)
+    state, (tf, tof, qf) = jax.lax.scan(body, state, sfx)
     return state, Corrections(tf=tf, tof=tof, qf=qf)
 
 
@@ -285,16 +280,12 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
     nmon = month_mat.shape[0]
     m_idx = jnp.argmax(month_mat, axis=0).astype(jnp.int32)     # (t,)
     m_w = jnp.take_along_axis(month_mat, m_idx[None, :], axis=0)[0]  # (t,)
-    plan = const = coeffs = None
-    if fastcirc is not None:
-        plan, const, coeffs = fastcirc
 
     def body(carry, xs):
         s, monthly, sums = carry
-        fx, corr_t, mi, mw, cf_t = xs
-        fcirc = (plan, const, cf_t) if cf_t is not None else None
+        fx, corr_t, mi, mw = xs
         s2, out = scenario_step(s, fx, corr_t, co2, md, st, num, exp, extend,
-                                unroll_circ, fcirc)
+                                unroll_circ, fastcirc)
         if with_outputs:
             f5 = jnp.stack([out.ts, out.ta, out.to, out.q, out.albedo],
                            axis=-3)
@@ -312,7 +303,7 @@ def run_year_scenario(state: ModelState, sfx: StepForcing, corr: Corrections,
 
     (state, monthly, sums), _ = jax.lax.scan(
         body, (state, monthly0, sums0),
-        (sfx, (corr.tf, corr.tof, corr.qf), m_idx, m_w, coeffs))
+        (sfx, (corr.tf, corr.tof, corr.qf), m_idx, m_w))
 
     if not with_outputs:
         return state, None, None

@@ -73,11 +73,12 @@ class GREB:
         cfg, params = config_from_namelist(path)
         return cls(cfg, params=params, **kw)
 
-    # -- fast-circulation coefficient tables ----------------------------------
+    # -- fast-circulation constants -------------------------------------------
     def fastcirc_tables(self):
-        """Lazy (FastPlan, FastConst, FastCoeffs) for the coefficient-folded
-        circulation; None when disabled or unsupported (legacy transport
-        overrides change the circulation operator itself)."""
+        """Lazy (FastPlan, FastConst) for the coefficient-folded circulation;
+        None when disabled or unsupported (legacy transport overrides change
+        the circulation operator itself).  Per-step coefficients are
+        assembled on device from these constants + the step's winds."""
         if not self.cfg.fast_circulation:
             return None
         e = self.exp
@@ -85,22 +86,21 @@ class GREB:
             return None
         if self._fastcirc is None:
             from ..ops import fastcirc as fc
-            self._fastcirc = fc.build_tables(
-                np.asarray(self.sfx.u), np.asarray(self.sfx.v),
+            self._fastcirc = fc.build_const(
                 np.asarray(self.derived.wz_air),
                 np.asarray(self.derived.wz_vapor),
                 self.grid, self.st, kappa=float(self.params.kappa))
         return self._fastcirc
 
     def _fastcirc_split(self):
-        """(static plan, device-array data) — the data must travel as jit
-        ARGUMENTS (a closure constant of this size would be serialized into
-        the compile request)."""
+        """(static plan, device-array data) — the data travels as jit
+        ARGUMENTS (closure constants are serialized into the axon tunnel's
+        compile request)."""
         fcirc = self.fastcirc_tables()
         if fcirc is None:
             return None, None
-        plan, const, coeffs = fcirc
-        return plan, (const, coeffs)
+        plan, const = fcirc
+        return plan, (const,)
 
     # -- jitted year runners --------------------------------------------------
     def _year_fluxcorr(self):

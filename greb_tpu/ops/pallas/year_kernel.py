@@ -139,30 +139,25 @@ def _state_to_refs(s_ref, out_state_ref, state: ModelState) -> None:
 
 
 def _fast_in_specs(fastcirc):
-    """Extra BlockSpecs for the streamed fast-circulation coefficient tables
-    (zc, c0, mc, pac per step) + resident constants (pdc, wz_band)."""
+    """Extra BlockSpecs for the fast-circulation CONSTANTS (the per-step
+    coefficients are assembled in-kernel from these + the step's winds)."""
     if fastcirc is None:
         return []
-    plan, const, coeffs = fastcirc
-    t, _, f, y, x = coeffs.zc.shape
-    b = coeffs.pac.shape[-2]
+    plan, const = fastcirc
     return [
-        pl.BlockSpec((1, 6, f, y, x), lambda t: (t, 0, 0, 0, 0)),   # zc
-        pl.BlockSpec((1, f, y, x), lambda t: (t, 0, 0, 0)),          # c0
-        pl.BlockSpec((1, 4, f, y, x), lambda t: (t, 0, 0, 0, 0)),   # mc
-        pl.BlockSpec((1, 7, f, b, x), lambda t: (t, 0, 0, 0, 0)),   # pac
-        pl.BlockSpec((7, f, b, x), lambda t: (0, 0, 0, 0)),          # pdc
-        pl.BlockSpec((f, b, x), lambda t: (0, 0, 0)),                # wz_band
+        pl.BlockSpec(const.full.shape, lambda t: (0, 0, 0, 0)),      # full
+        pl.BlockSpec(const.band.shape, lambda t: (0, 0, 0, 0)),      # band
         pl.BlockSpec(const.pcomp.shape, lambda t: (0, 0, 0, 0)),     # pcomp
+        pl.BlockSpec(const.pcu.shape, lambda t: (0, 0, 0, 0)),       # pcu
+        pl.BlockSpec(const.pcw.shape, lambda t: (0, 0, 0, 0)),       # pcw
     ]
 
 
 def _fast_args(fastcirc):
     if fastcirc is None:
         return ()
-    plan, const, coeffs = fastcirc
-    return (coeffs.zc, coeffs.c0, coeffs.mc, coeffs.pac,
-            const.pdc, const.wz_band, const.pcomp)
+    plan, const = fastcirc
+    return (const.full, const.band, const.pcomp, const.pcu, const.pcw)
 
 
 def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
@@ -193,13 +188,12 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                corr_ref, *rest):
         if fastcirc is not None:
-            (zc_ref, c0_ref, mc_ref, pac_ref, pdc_ref, wzb_ref, pcomp_ref,
+            (full_ref, band_ref, pcomp_ref, pcu_ref, pcw_ref,
              out_state_ref, outs_ref, s_scr) = rest
             fc_t = (plan,
-                    fcirc.FastConst(pdc=pdc_ref[...], wz_band=wzb_ref[...],
-                                    pcomp=pcomp_ref[...]),
-                    fcirc.FastCoeffs(zc=zc_ref[0], c0=c0_ref[0],
-                                     mc=mc_ref[0], pac=pac_ref[0]))
+                    fcirc.FastConst(full=full_ref[...], band=band_ref[...],
+                                    pcomp=pcomp_ref[...], pcu=pcu_ref[...],
+                                    pcw=pcw_ref[...]))
         else:
             out_state_ref, outs_ref, s_scr = rest
             fc_t = None
@@ -298,13 +292,12 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                *rest):
         if fastcirc is not None:
-            (zc_ref, c0_ref, mc_ref, pac_ref, pdc_ref, wzb_ref, pcomp_ref,
+            (full_ref, band_ref, pcomp_ref, pcu_ref, pcw_ref,
              out_state_ref, corr_ref, s_scr) = rest
             fc_t = (plan,
-                    fcirc.FastConst(pdc=pdc_ref[...], wz_band=wzb_ref[...],
-                                    pcomp=pcomp_ref[...]),
-                    fcirc.FastCoeffs(zc=zc_ref[0], c0=c0_ref[0],
-                                     mc=mc_ref[0], pac=pac_ref[0]))
+                    fcirc.FastConst(full=full_ref[...], band=band_ref[...],
+                                    pcomp=pcomp_ref[...], pcu=pcu_ref[...],
+                                    pcw=pcw_ref[...]))
         else:
             out_state_ref, corr_ref, s_scr = rest
             fc_t = None

@@ -212,6 +212,34 @@ def _adv_smooth3(t: LonShifts, w: LonShifts, u_m, u_p, cc, quirk: bool) -> jax.A
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
+# Polar sub-cycles unroll for small iteration counts (96x48: <=8); refined
+# grids reach counts in the hundreds-to-thousands (384x192 pole row: 1800,
+# reference formula src/greb.f90:651-654), where unrolling would explode the
+# trace — switch to a fori_loop with the same masked-update semantics.
+_UNROLL_LIMIT = 16
+
+
+def _subcycle(x0: jax.Array, itm: jax.Array, max_iter: int,
+              step_fn) -> jax.Array:
+    """Masked clamped iteration: t1h += clamp(step_fn(t1h)) * itm[i]."""
+    def one(t1h, m):
+        d = step_fn(t1h)
+        d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:715, :907)
+        return t1h + d * m
+
+    if max_iter <= _UNROLL_LIMIT:
+        t1h = x0
+        for i in range(max_iter):
+            t1h = one(t1h, itm[i])
+        return t1h
+
+    def body(i, t1h):
+        m = jax.lax.dynamic_index_in_dim(itm, i, 0, keepdims=False)
+        return one(t1h, m)
+
+    return jax.lax.fori_loop(0, max_iter, body, x0)
+
+
 def _band_slices(st: StencilStatic, R: int):
     """Row slices of the two contiguous polar bands."""
     out = []
@@ -268,12 +296,9 @@ def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
             wb = _rows(pack.lon, sl)
             ccx2 = (kappa * sf.diff_dtdff2[sl]) / sf.dxlat2[sl]
             itm = sf.diff_itm[:, sl]
-            t1h = xb
-            for i in range(st.diff_max_iter):
-                th = lon_shifts(t1h, st.xdim, quirk=False)
-                d = _diff7(th, wb, ccx2)
-                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:715)
-                t1h = t1h + d * itm[i]
+            t1h = _subcycle(
+                xb, itm, st.diff_max_iter,
+                lambda t: _diff7(lon_shifts(t, st.xdim, quirk=False), wb, ccx2))
             parts.append(t1h - xb)
         dtx = _assemble_rows(dtx, parts, st)
     else:
@@ -282,12 +307,10 @@ def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
         dtx = _diff7(ts, pack.lon, ccx)
         if st.diff_max_iter > 0:  # masked full-field form (sharded path)
             ccx2 = (kappa * sf.diff_dtdff2) / sf.dxlat2
-            t1h = x
-            for i in range(st.diff_max_iter):
-                th = lon_shifts(t1h, st.xdim, quirk=False)
-                d = _diff7(th, pack.lon, ccx2)
-                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:715)
-                t1h = t1h + d * sf.diff_itm[i]
+            t1h = _subcycle(
+                x, sf.diff_itm, st.diff_max_iter,
+                lambda t: _diff7(lon_shifts(t, st.xdim, quirk=False),
+                                 pack.lon, ccx2))
             dtx = jnp.where(sf.polar, t1h - x, dtx)
 
     return wz * (dtx + dty)
@@ -328,12 +351,11 @@ def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
             ub_m, ub_p = u_m[..., sl, :], u_p[..., sl, :]
             cc2 = sf.adv_ccx2[sl]
             itm = sf.adv_itm[:, sl]
-            t1h = xb
-            for i in range(st.adv_max_iter):
-                th = lon_shifts(t1h, st.xdim, quirk=st.quirk_jp2)
-                d = _adv_smooth3(th, wb, ub_m, ub_p, cc2, st.quirk_jp2)
-                d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:907)
-                t1h = t1h + d * itm[i]
+            t1h = _subcycle(
+                xb, itm, st.adv_max_iter,
+                lambda t: _adv_smooth3(
+                    lon_shifts(t, st.xdim, quirk=st.quirk_jp2), wb,
+                    ub_m, ub_p, cc2, st.quirk_jp2))
             parts.append(t1h - xb)
         dtx = _assemble_rows(dtx, parts, st)
     else:
@@ -341,12 +363,11 @@ def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
         dtx = _adv_upwind2(ts, pack.lon, u_m, u_p, sf.ccx_adv)
 
     if st.adv_max_iter > 0 and not st.compact_polar:
-        t1h = x
-        for i in range(st.adv_max_iter):
-            th = lon_shifts(t1h, st.xdim, quirk=st.quirk_jp2)
-            d = _adv_smooth3(th, pack.lon, u_m, u_p, sf.adv_ccx2, st.quirk_jp2)
-            d = jnp.where(d <= -t1h, -0.9 * t1h, d)  # clamp (:907)
-            t1h = t1h + d * sf.adv_itm[i]
+        t1h = _subcycle(
+            x, sf.adv_itm, st.adv_max_iter,
+            lambda t: _adv_smooth3(
+                lon_shifts(t, st.xdim, quirk=st.quirk_jp2), pack.lon,
+                u_m, u_p, sf.adv_ccx2, st.quirk_jp2))
         dtx = jnp.where(sf.polar, t1h - x, dtx)
 
     return dtx + dty

@@ -84,10 +84,10 @@ def make_ensemble_runners(st, num, exp, month_mat, extend=None,
     scenario_year(state_B, sfx, corr_B, co2_scalar, md_B, fcdata=None)
         -> (state_B, monthly_B, mean_fields_B)
 
-    ``fcdata = (FastConst, FastCoeffs)`` (with the matching static
-    ``fast_plan``) enables the coefficient-folded circulation SHARED across
-    members — only valid when no transport parameter is perturbed
-    (fastcirc_shareable); tables are broadcast, never batched."""
+    ``fcdata = (FastConst,)`` (with the matching static ``fast_plan``)
+    enables the coefficient-folded circulation SHARED across members — only
+    valid when no transport parameter is perturbed (fastcirc_shareable);
+    constants are broadcast, never batched."""
     from ..ops import stencils as stc
     extend = extend or stc.extend_lat_zero
 

@@ -17,14 +17,17 @@ F32 = np.float32
 
 @pytest.fixture(scope="module")
 def fast(setup):
-    u = np.asarray(setup.sfx.u)
-    v = np.asarray(setup.sfx.v)
     wz_air = np.asarray(setup.derived.wz_air)
     wz_vapor = np.asarray(setup.derived.wz_vapor)
-    plan, const, coeffs = fc.build_tables(
-        u, v, wz_air, wz_vapor, setup.grid, setup.st,
+    plan, const = fc.build_const(
+        wz_air, wz_vapor, setup.grid, setup.st,
         kappa=float(setup.params.kappa))
-    return plan, const, coeffs
+    return plan, const
+
+
+def _cf(setup, fast, ityr):
+    plan, const = fast
+    return fc.step_coeffs(setup.sfx.u[ityr], setup.sfx.v[ityr], const, plan)
 
 
 def _strict_circ(setup, x2, ityr, nsub):
@@ -54,9 +57,9 @@ def _assert_fields_close(x2, got, want, rtol, name=""):
 
 @pytest.mark.parametrize("ityr", [0, 181, 365, 729])
 def test_single_substep_matches_strict(setup, fast, ityr):
-    plan, const, coeffs = fast
+    plan, const = fast
     x2 = _state_x2(setup)
-    cf = jax.tree.map(lambda a: a[ityr], coeffs)
+    cf = _cf(setup, fast, ityr)
     got = fc.substep(x2, cf, const, plan) - x2
     want = _strict_circ(setup, x2, ityr, nsub=1)
     _assert_fields_close(x2, got, want, rtol=2e-6)
@@ -64,9 +67,9 @@ def test_single_substep_matches_strict(setup, fast, ityr):
 
 @pytest.mark.parametrize("ityr", [0, 365])
 def test_full_circulation_matches_strict(setup, fast, ityr):
-    plan, const, coeffs = fast
+    plan, const = fast
     x2 = _state_x2(setup)
-    cf = jax.tree.map(lambda a: a[ityr], coeffs)
+    cf = _cf(setup, fast, ityr)
     got = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
     want = _strict_circ(setup, x2, ityr, nsub=24)
     _assert_fields_close(x2, got, want, rtol=3e-5)
@@ -75,14 +78,14 @@ def test_full_circulation_matches_strict(setup, fast, ityr):
 def test_clamp_semantics_near_zero_q(setup, fast):
     """The polar positivity clamps are the only nonlinearity; force them to
     fire by making q tiny at the poles and check both paths agree."""
-    plan, const, coeffs = fast
+    plan, const = fast
     s = setup.state0()
     q = np.asarray(s.q).copy()
     q[:3, :] = 1e-9
     q[-3:, :] = 1e-9
     ta = np.asarray(s.ta).copy()
     x2 = jnp.stack([jnp.asarray(ta), jnp.asarray(q)])
-    cf = jax.tree.map(lambda a: a[400], coeffs)
+    cf = _cf(setup, fast, 400)
     got = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
     want = _strict_circ(setup, x2, 400, nsub=24)
     # q stays positive under both
@@ -91,9 +94,9 @@ def test_clamp_semantics_near_zero_q(setup, fast):
 
 
 def test_fori_loop_equals_unrolled(setup, fast):
-    plan, const, coeffs = fast
+    plan, const = fast
     x2 = _state_x2(setup)
-    cf = jax.tree.map(lambda a: a[7], coeffs)
+    cf = _cf(setup, fast, 7)
     a = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
     b = fc.circulation(x2, cf, const, plan, nsub=24, unroll=False)
     c = fc.circulation(x2, cf, const, plan, nsub=24, unroll=6)
@@ -128,3 +131,52 @@ def test_driver_year_fast_matches_strict(forcing_np):
     np.testing.assert_allclose(m_fast[..., 4, :, :], m_strict[..., 4, :, :],
                                rtol=0, atol=2e-4)  # albedo
     np.testing.assert_allclose(ts_fast, ts_strict, rtol=0, atol=1e-2)
+
+
+def test_refined_grid_substep_matches_strict():
+    """384x192: every row is 'polar' (dxlat < 2.5e5 m everywhere) and the
+    pole rows sub-cycle 1800x — the fast path must handle the hemisphere
+    band split, explicit fori segments, and the SVD-truncated (lowrank)
+    composite for the huge-n rows."""
+    import jax.numpy as jnp
+    from greb_tpu.config import Numerics
+    from greb_tpu.forcing import build_derived, forcing_from_arrays
+    from greb_tpu.grid import make_grid
+    from greb_tpu.io.synthetic import make_synthetic_forcing
+    from greb_tpu.model import core
+    from greb_tpu.regrid import regrid_forcing_arrays
+    from greb_tpu.config import PhysicsParams
+
+    num = Numerics(xdim=384, ydim=192, ndays_yr=10, jday_mon=(6, 4),
+                   time_flux=1, time_scnr=1)
+    arrs = make_synthetic_forcing(96, 48, num.nstep_yr, num.ndays_yr)
+    forcing = forcing_from_arrays(regrid_forcing_arrays(arrs, num))
+    params = PhysicsParams.default()
+    grid = make_grid(num.xdim, num.ydim, num.dt_crcl)
+    st, sf_np = stc.make_stencil_arrays(grid)
+    sf = jax.tree.map(jnp.asarray, sf_np)
+    derived = build_derived(params, forcing)
+
+    plan, const = fc.build_const(
+        np.asarray(derived.wz_air), np.asarray(derived.wz_vapor),
+        grid, st, kappa=float(params.kappa))
+    assert plan.comp_mode == "lowrank"
+    assert plan.comp_kt + plan.comp_kb >= 2
+
+    from greb_tpu.forcing import initial_state
+    s0 = initial_state(params, forcing, derived)
+    x2 = jnp.stack([s0.ta, s0.q])
+    cf = fc.step_coeffs(forcing.uclim[0], forcing.vclim[0], const, plan)
+    got = fc.substep(x2, cf, const, plan) - x2
+
+    fx = jax.tree.map(lambda a: a[0], core.step_forcing_from_clim(forcing))
+    u_m = jnp.maximum(fx.u, 0.0)
+    u_p = jnp.minimum(fx.u, 0.0)
+    v_m = jnp.maximum(fx.v, 0.0)
+    v_p = jnp.minimum(fx.v, 0.0)
+    wz2 = jnp.stack([derived.wz_air, derived.wz_vapor])
+    want = stc.circulation(x2, wz2, u_m, u_p, v_m, v_p, st, sf,
+                           params.kappa, nsub=1, unroll=True)
+    # lowrank rows are SVD-truncated at 3e-7: a touch looser than pure
+    # float32 rounding
+    _assert_fields_close(x2, got, want, rtol=5e-6)

@@ -15,11 +15,14 @@ This module therefore FOLDS each substep into
     x += sum_s C_s(ityr) * shift(x, s)          (11 shifts: lon +-1..3, lat +-1..2)
        + polar-band fix-up                       (clamped row iterations)
 
-with the C_s precomputed per forcing step (730 tables, ~0.5 GB HBM,
-~0.5 MB streamed per step).  The wz topography factor, the 10/4/1 stencil
-weights, the /3 and /20 normalizations, the upwind sign splits and the
-row-dependent cc coefficients are all baked into C_s, so a substep is
-~11 fused multiply-adds over the field instead of ~150 elementwise ops.
+where C_s = const_s + mult_s * wind(ityr): the time-constant parts (wz
+topography factors, 10/4/1 stencil weights, /3 and /20 normalizations,
+row-dependent cc coefficients) live in ~25 precomputed constant fields
+(build_const, ~1 MB at 96x48), and each step's C_s are assembled ON DEVICE
+from them and the step's winds by step_coeffs (~30 multiply-adds, amortized
+over the step's 24 substeps).  A substep is then ~11 fused multiply-adds
+over the field instead of ~150 elementwise ops, with nothing per-step
+stored or streamed — the same recipe works unchanged at refined grids.
 
 Exactness: the folding is an algebraic regrouping of the reference float32
 formulas (coefficients are accumulated in float64, cast to float32), so
@@ -29,6 +32,9 @@ nonlinearities, are kept exactly: the polar bands still iterate, on
 statically-compacted row groups (rows needing k iterations form
 prefixes/suffixes of the bands because dxlat shrinks monotonically toward
 the poles, so every iteration level is a static slice — Pallas-safe).
+Rows whose iteration count exceeds LOWRANK_N collapse into precomputed
+composite operators (I+C)^n — dense and exact where they fit in VMEM,
+SVD-truncated at refined grids where n reaches the thousands.
 
 Not supported here (falls back to the strict path): legacy experiment
 overrides of the transport (Experiment.circulation_off etc.), per-member

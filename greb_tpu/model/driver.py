@@ -137,6 +137,13 @@ class GREB:
         return self._jit_cache[key]
 
     # -- fused Pallas year runners (single-model TPU fast path) --------------
+    def _pallas_viable(self) -> bool:
+        """The fused year kernel keeps state + streamed blocks + constants in
+        VMEM (~16 MB/core); beyond roughly 128x256 that budget is blown, so
+        refined grids use the XLA path (which the driver falls back to)."""
+        cells = self.num.ydim * self.num.xdim
+        return cells * 4 * 60 <= 12 * 2 ** 20  # ~60 resident field copies
+
     def _pallas_packs(self):
         if self._packs is None:
             from ..ops.pallas import year_kernel as yk
@@ -205,7 +212,7 @@ class GREB:
             print(f"% FLUX CORRECTION RUN; years = {num.time_flux} "
                   f"co2 = {float(co2v)}")
         corr = Corrections.zeros(num.nstep_yr, num.ydim, num.xdim)
-        if self.cfg.use_pallas:
+        if self.cfg.use_pallas and self._pallas_viable():
             fpack, sw, cpack = self._pallas_packs()
             runner = self._year_fluxcorr_pallas()
             fast_args = self._pallas_fast_args()
@@ -252,7 +259,7 @@ class GREB:
             from ..io.binio import OutputWriter
             writer = OutputWriter(output_path, num.xdim, num.ydim)
 
-        if self.cfg.use_pallas:
+        if self.cfg.use_pallas and self._pallas_viable():
             fpack, sw, cpack = self._pallas_packs()
             corrpack = jnp.stack([corr.tf, corr.tof, corr.qf], axis=1)
             pl_runner = self._year_scenario_pallas()

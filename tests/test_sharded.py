@@ -84,3 +84,35 @@ def test_batched_ensemble_sharding(model):
     assert np.isfinite(np.asarray(monthly)).all()
     # members differ
     assert np.asarray(mf.ts).std(axis=0).max() > 1e-4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_refined_grid_sharded_compiles():
+    """Config-5 path (BASELINE.json): a refined grid domain-decomposed over
+    latitude must LOWER AND COMPILE with the fori_loop polar sub-cycles
+    (129 diffusion iterations/substep at 192x96) inside shard_map + halo
+    exchange.  Runtime at this size is TPU-scale, so this is compile-only."""
+    from greb_tpu.forcing import forcing_from_arrays
+    from greb_tpu.io.synthetic import make_synthetic_forcing
+    from greb_tpu.regrid import regrid_forcing_arrays
+
+    num = Numerics(xdim=192, ydim=96, ndays_yr=10, jday_mon=(6, 4),
+                   time_flux=1, time_scnr=1)
+    arrs = make_synthetic_forcing(96, 48, num.nstep_yr, num.ndays_yr)
+    forcing = forcing_from_arrays(regrid_forcing_arrays(arrs, num))
+    m = GREB(GrebConfig(numerics=num), forcing=forcing, verbose=False)
+    assert m.grid.diff_sched.max_iter > 100   # the hard case
+
+    mesh = make_mesh(n_ens=1, n_y=4)
+    mm = jnp.asarray(month_average_matrix(num.jday_mon, num.ndt_days))
+    flux_sh, scnr_sh = make_sharded_year_runners(mesh, m.st, num,
+                                                 Experiment(), mm)
+    s0 = m.initial_state()
+    corr0 = Corrections.zeros(num.nstep_yr, num.ydim, num.xdim)
+    st_s, sfx_s, corr_s, md_s = shard_inputs(mesh, False, s0, m.sfx, corr0,
+                                             m.md)
+    co2 = jnp.float32(680.0)
+    lowered = flux_sh.lower(st_s, sfx_s, co2, md_s)
+    assert lowered.compile() is not None
+    lowered2 = scnr_sh.lower(st_s, sfx_s, corr_s, co2, md_s)
+    assert lowered2.compile() is not None

@@ -241,6 +241,18 @@ class YearDiag(NamedTuple):
     global_mean_ts: jax.Array  # scalar [K]
     point_ts: jax.Array        # Tsurf at (ipx, ipy) [K]
     mean_fields: StepOutputs   # annual means of all step outputs
+    # annual means of the correction tables (the reference's ftmn/fqmn
+    # accumulators, src/greb.f90:945-947; constant across scenario years
+    # since the tables are learned once in spin-up). None when not attached.
+    ft_mean: Optional[jax.Array] = None
+    fq_mean: Optional[jax.Array] = None
+
+
+def correction_annual_means(corr: Corrections):
+    """Annual means of TF/qF correction tables (ftmn/fqmn,
+    src/greb.f90:945-947) — scenario-phase tables repeat every year, so the
+    mean over the 730 ityr slots IS the annual mean."""
+    return corr.tf.mean(axis=-3), corr.qf.mean(axis=-3)
 
 
 def run_year_fluxcorr(state: ModelState, sfx: StepForcing, co2, md: ModelData,

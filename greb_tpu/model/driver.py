@@ -4,8 +4,9 @@ legacy experiment shell (src/greb.original.shell.web-public.f90).
 
 Orchestration is year-granular: each phase compiles one jitted year-runner
 and calls it per simulated year (host overhead per call is microseconds
-against ~milliseconds of device work). A fully fused multi-year ``lax.scan``
-path is available for benchmarking via ``run_scenario(fused=True)``.
+against ~milliseconds of device work).  On TPU the Pallas path additionally
+fuses whole blocks of years into one kernel (``years_per_call``), so the
+per-year dispatch disappears from the hot path entirely.
 """
 from __future__ import annotations
 
@@ -279,6 +280,7 @@ class GREB:
             print("console output: year, co2, global avg temp, "
                   "avg temp for ipx/ipy")
         monthly_all, diags = [], []
+        ft_mean, fq_mean = core.correction_annual_means(corr)
         year = num.year0
         for iy in range(years):
             co2 = jnp.float32(co2_series[iy])
@@ -293,7 +295,8 @@ class GREB:
                 monthly_all.append(monthly_np)
                 if writer:
                     writer.write_months(monthly_np)
-                diag = core.year_diag(mean_fields, num)
+                diag = core.year_diag(mean_fields, num)._replace(
+                    ft_mean=ft_mean, fq_mean=fq_mean)
                 diags.append(diag)
                 if self.verbose:
                     print(f" {year + 1} {float(co2):10.4f} "

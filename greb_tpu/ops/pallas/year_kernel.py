@@ -160,19 +160,27 @@ def _fast_args(fastcirc):
     return (const.full, const.band, const.pcomp, const.pcu, const.pcw)
 
 
+def default_sb(t_steps: int) -> int:
+    """Steps per grid iteration: amortizes the per-grid-step pipeline
+    overhead over SB sequential steps.  Tuned on TPU v5e (see bench.py)."""
+    for sb in (10, 5, 2):
+        if t_steps % sb == 0:
+            return sb
+    return 1
+
+
 def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                         sf_np: stc.StencilFields, num: Numerics,
                         exp: Experiment, interpret: bool = False,
-                        circ_unroll: int = 1, fastcirc=None):
+                        circ_unroll: int = 1, fastcirc=None,
+                        sb: int = 0):
     """Returns fn(state, fpack, sw, cpack, corrpack, co2) ->
     (final_state (5,y,x), outs (t, 9, y, x)) running one scenario year in a
     single fused kernel.  With ``fastcirc=(FastPlan, FastConst, FastCoeffs)``
     the circulation uses the coefficient-folded path, with the per-step
     coefficient tables streamed HBM->VMEM by the Pallas pipeline."""
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
-    # steps per grid iteration: amortizes the per-grid-step pipeline
-    # overhead (~2-3 us at 96x48) over SB sequential steps
-    SB = 2 if t_steps % 2 == 0 else 1
+    SB = sb if sb and t_steps % sb == 0 else default_sb(t_steps)
     md_c = core.ModelData(params=concrete_params(md.params),
                           derived=Derived(
                               wz_air=None, wz_vapor=None, z_ocean=None,

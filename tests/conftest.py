@@ -1,6 +1,23 @@
+import os
+import subprocess
+
 import jax
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    """Build the native C++ record-IO library so binio and
+    test_native_matches_numpy exercise the fast path (gcc is a baked-in
+    tool; the .so is gitignored).  Best-effort: the NumPy fallback keeps
+    everything green if no compiler is present."""
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "greb_tpu",
+                              "native")
+    try:
+        subprocess.run(["make", "-C", native_dir, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
 
 from greb_tpu.config import Experiment, GrebConfig, Numerics, PhysicsParams
 from greb_tpu.forcing import (build_derived, forcing_from_arrays,

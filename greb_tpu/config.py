@@ -302,6 +302,11 @@ class GrebConfig:
     # float32 rounding; disabled for legacy transport overrides and for
     # ensembles that perturb transport parameters.
     fast_circulation: bool = False
+    # Which fold to use when fast_circulation is on: 2 = the uniform masked
+    # fold (ops/fastcirc2.py — fewer, larger vector ops; latitude-shardable),
+    # 1 = the banded fold (ops/fastcirc.py).  Both match the strict path to
+    # float32 rounding.
+    fastcirc_version: int = 2
     fidelity_jp2_quirk: bool = True   # reproduce src/greb.f90:881 index quirk
 
     def physics_defaults(self) -> PhysicsParams:

@@ -25,6 +25,7 @@ from ..config import Experiment, Numerics, PhysicsParams
 from ..forcing import ClimForcing, Corrections, Derived, ModelState
 from ..grid import Grid, month_average_matrix
 from ..ops import fastcirc as fc
+from ..ops import fastcirc2 as fc2
 from ..ops import pointwise as pw
 from ..ops import stencils as stc
 
@@ -136,12 +137,19 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
         dta_crcl = circ(state.ta, d.wz_air)
         dq_crcl = circ(state.q, d.wz_vapor, include_advection=False)
     elif fastcirc is not None:
-        # coefficient-folded fast path (batched Ta, q along the F axis)
+        # coefficient-folded fast path (batched Ta, q along the F axis);
+        # the const pytree's type selects the v1 (banded) or v2 (uniform
+        # masked) fold — see ops/fastcirc.py and ops/fastcirc2.py
         plan, const = fastcirc
-        cf_t = fc.step_coeffs(fx.u, fx.v, const, plan)
         x2 = jnp.stack([state.ta, state.q], axis=-3)
-        dx2 = fc.circulation(x2, cf_t, const, plan, nsub,
-                             unroll=unroll_circ)
+        if isinstance(const, fc2.Fast2Const):
+            cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
+            dx2 = fc2.circulation(x2, cf_t, const, plan, nsub,
+                                  unroll=unroll_circ)
+        else:
+            cf_t = fc.step_coeffs(fx.u, fx.v, const, plan)
+            dx2 = fc.circulation(x2, cf_t, const, plan, nsub,
+                                 unroll=unroll_circ)
         dta_crcl = dx2[..., 0, :, :]
         dq_crcl = dx2[..., 1, :, :]
     else:

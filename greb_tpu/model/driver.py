@@ -86,7 +86,10 @@ class GREB:
         if e.circulation_off or e.vapor_circulation_off or e.vapor_diffusion_only:
             return None
         if self._fastcirc is None:
-            from ..ops import fastcirc as fc
+            if getattr(self.cfg, "fastcirc_version", 2) == 2:
+                from ..ops import fastcirc2 as fc
+            else:
+                from ..ops import fastcirc as fc
             self._fastcirc = fc.build_const(
                 np.asarray(self.derived.wz_air),
                 np.asarray(self.derived.wz_vapor),

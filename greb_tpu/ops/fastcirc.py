@@ -206,6 +206,52 @@ def step_coeffs(u: jax.Array, v: jax.Array, const: FastConst,
 # ---------------------------------------------------------------------------
 # builders
 # ---------------------------------------------------------------------------
+def build_composites(pdc64: np.ndarray, n_extra: np.ndarray, plan: "FastPlan",
+                     F: int, B: int, X: int):
+    """Dense or SVD-truncated composites (I + C_row)^n_extra of the polar
+    diffusion row operator, for the comp_kt top-prefix + comp_kb
+    bottom-suffix band rows.  pdc64: (7, F, B, X) float64 row coefficients
+    (shifted-wz folded, no outer wz).  Shared by the v1 and v2 folds."""
+    pcomp = np.zeros((F, 1, X, X), F32)
+    pcu = np.zeros((F, 1, X, 1), F32)
+    pcw = np.zeros((F, 1, 1, X), F32)
+    ktc, kbc = plan.comp_kt, plan.comp_kb
+    K = ktc + kbc
+    rows_fb = ([(f, b) for f in range(F) for b in range(ktc)]
+               + [(f, b) for f in range(F) for b in range(B - kbc, B)])
+    jout = np.arange(X)
+    pc64 = {}
+    for f, b in rows_fb:
+        C = np.zeros((X, X))
+        C[jout, jout] += pdc64[3, f, b]
+        for i, s in _LON_IDX_SHIFT:
+            C[(jout - s) % X, jout] += pdc64[i, f, b]
+        pc64[(f, b)] = np.linalg.matrix_power(
+            np.eye(X) + C, int(n_extra[b]))
+    if plan.comp_mode == "dense":
+        pcomp = np.zeros((F, K, X, X))
+        for f, b in rows_fb:
+            k = b if b < ktc else K - (B - b)
+            pcomp[f, k] = pc64[(f, b)]
+        pcomp = pcomp.astype(F32)
+    else:  # lowrank: P ~= (U S)[:, :r] @ Vt[:r]
+        svds = {fb: np.linalg.svd(P) for fb, P in pc64.items()}
+        rmax = 1
+        for (uu, s, vt) in svds.values():
+            rmax = max(rmax, int((s > LOWRANK_TOL * s[0]).sum()))
+        pcu = np.zeros((F, K, X, rmax))
+        pcw = np.zeros((F, K, rmax, X))
+        for f, b in rows_fb:
+            k = b if b < ktc else K - (B - b)
+            uu, s, vt = svds[(f, b)]
+            r = int((s > LOWRANK_TOL * s[0]).sum())
+            pcu[f, k, :, :r] = uu[:, :r] * s[:r]
+            pcw[f, k, :r, :] = vt[:r]
+        pcu = pcu.astype(F32)
+        pcw = pcw.astype(F32)
+    return pcomp, pcu, pcw
+
+
 def _segments(time2_band_top: np.ndarray, time2_band_bot: np.ndarray,
               off_t: int = 0, off_b: int = 0):
     """Extra-iteration segments after the uniform level-0 iteration.
@@ -409,45 +455,13 @@ def build_const(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
         band[_B_PA0P] = 10.0 * ca * wb["p1"]
 
         # composite of the extra diffusion iterations (see FastConst)
-        pcomp = np.zeros((F, 1, X, X), F32)
-        pcu = np.zeros((F, 1, X, 1), F32)
-        pcw = np.zeros((F, 1, 1, X), F32)
         if plan.diff_composite:
             n_extra = np.asarray(grid.diff_sched.time2)[bidx] - 1
-            ktc, kbc = plan.comp_kt, plan.comp_kb
-            K = ktc + kbc
-            rows_fb = ([(f, b) for f in range(F) for b in range(ktc)]
-                       + [(f, b) for f in range(F) for b in range(B - kbc, B)])
-            jout = np.arange(X)
-            pc64 = {}
-            for f, b in rows_fb:
-                C = np.zeros((X, X))
-                C[jout, jout] += pdc64[3, f, b]
-                for i, s in _LON_IDX_SHIFT:
-                    C[(jout - s) % X, jout] += pdc64[i, f, b]
-                pc64[(f, b)] = np.linalg.matrix_power(
-                    np.eye(X) + C, int(n_extra[b]))
-            if plan.comp_mode == "dense":
-                pcomp = np.zeros((F, K, X, X))
-                for f, b in rows_fb:
-                    k = b if b < ktc else K - (B - b)
-                    pcomp[f, k] = pc64[(f, b)]
-                pcomp = pcomp.astype(F32)
-            else:  # lowrank: P ~= (U S)[:, :r] @ Vt[:r]
-                svds = {fb: np.linalg.svd(P) for fb, P in pc64.items()}
-                rmax = 1
-                for (uu, s, vt) in svds.values():
-                    rmax = max(rmax, int((s > LOWRANK_TOL * s[0]).sum()))
-                pcu = np.zeros((F, K, X, rmax))
-                pcw = np.zeros((F, K, rmax, X))
-                for f, b in rows_fb:
-                    k = b if b < ktc else K - (B - b)
-                    uu, s, vt = svds[(f, b)]
-                    r = int((s > LOWRANK_TOL * s[0]).sum())
-                    pcu[f, k, :, :r] = uu[:, :r] * s[:r]
-                    pcw[f, k, :r, :] = vt[:r]
-                pcu = pcu.astype(F32)
-                pcw = pcw.astype(F32)
+            pcomp, pcu, pcw = build_composites(pdc64, n_extra, plan, F, B, X)
+        else:
+            pcomp = np.zeros((F, 1, X, X), F32)
+            pcu = np.zeros((F, 1, X, 1), F32)
+            pcw = np.zeros((F, 1, 1, X), F32)
     else:
         band = np.zeros((N_BAND, F, 1, X))
         pcomp = np.zeros((F, 1, X, X), F32)

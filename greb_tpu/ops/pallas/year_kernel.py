@@ -36,6 +36,7 @@ from ...config import Experiment, Numerics, PhysicsParams
 from ...forcing import Corrections, Derived, ModelState
 from ...model import core
 from ...ops import fastcirc as fcirc
+from ...ops import fastcirc2 as fcirc2
 from ...ops import stencils as stc
 
 F32 = np.float32
@@ -138,26 +139,46 @@ def _state_to_refs(s_ref, out_state_ref, state: ModelState) -> None:
 
 
 
+def _fast_pack(fastcirc):
+    """(arrays, rebuild) for either fold's constant pytree: the arrays are
+    streamed to VMEM as kernel inputs; ``rebuild(refs)`` reconstructs the
+    const dataclass from the corresponding refs inside the kernel.  Bool
+    leaves travel as 0/1 float32."""
+    if fastcirc is None:
+        return (), None
+    plan, const = fastcirc
+    if isinstance(const, fcirc2.Fast2Const):
+        arrays = (const.zd, const.zam, const.mer, const.wz,
+                  const.band.astype(jnp.float32), const.pcomp, const.pcu,
+                  const.pcw)
+
+        def rebuild(refs):
+            zd, zam, mer, wz, band, pcomp, pcu, pcw = (r[...] for r in refs)
+            return fcirc2.Fast2Const(zd=zd, zam=zam, mer=mer, wz=wz,
+                                     band=band > 0.5, pcomp=pcomp,
+                                     pcu=pcu, pcw=pcw)
+    else:
+        arrays = (const.full, const.band, const.pcomp, const.pcu, const.pcw)
+
+        def rebuild(refs):
+            full, band, pcomp, pcu, pcw = (r[...] for r in refs)
+            return fcirc.FastConst(full=full, band=band, pcomp=pcomp,
+                                   pcu=pcu, pcw=pcw)
+
+    return arrays, rebuild
+
+
 def _fast_in_specs(fastcirc):
     """Extra BlockSpecs for the fast-circulation CONSTANTS (the per-step
     coefficients are assembled in-kernel from these + the step's winds)."""
-    if fastcirc is None:
-        return []
-    plan, const = fastcirc
-    return [
-        pl.BlockSpec(const.full.shape, lambda t: (0, 0, 0, 0)),      # full
-        pl.BlockSpec(const.band.shape, lambda t: (0, 0, 0, 0)),      # band
-        pl.BlockSpec(const.pcomp.shape, lambda t: (0, 0, 0, 0)),     # pcomp
-        pl.BlockSpec(const.pcu.shape, lambda t: (0, 0, 0, 0)),       # pcu
-        pl.BlockSpec(const.pcw.shape, lambda t: (0, 0, 0, 0)),       # pcw
-    ]
+    arrays, _ = _fast_pack(fastcirc)
+    return [pl.BlockSpec(a.shape, (lambda nd: lambda t: (0,) * nd)(a.ndim))
+            for a in arrays]
 
 
 def _fast_args(fastcirc):
-    if fastcirc is None:
-        return ()
-    plan, const = fastcirc
-    return (const.full, const.band, const.pcomp, const.pcu, const.pcw)
+    arrays, _ = _fast_pack(fastcirc)
+    return arrays
 
 
 def default_sb(t_steps: int) -> int:
@@ -195,19 +216,16 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     n_sfp = 7 + n_diff + n_adv
 
     plan = fastcirc[0] if fastcirc is not None else None
+    fast_arrays, fast_rebuild = _fast_pack(fastcirc)
+    n_fast = len(fast_arrays)
 
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                corr_ref, *rest):
         if fastcirc is not None:
-            (full_ref, band_ref, pcomp_ref, pcu_ref, pcw_ref,
-             out_state_ref, outs_ref, s_scr) = rest
-            fc_t = (plan,
-                    fcirc.FastConst(full=full_ref[...], band=band_ref[...],
-                                    pcomp=pcomp_ref[...], pcu=pcu_ref[...],
-                                    pcw=pcw_ref[...]))
+            fc_t = (plan, fast_rebuild(rest[:n_fast]))
         else:
-            out_state_ref, outs_ref, s_scr = rest
             fc_t = None
+        out_state_ref, outs_ref, s_scr = rest[n_fast:]
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -299,19 +317,16 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
     n_sfp = 7 + n_diff + n_adv
 
     plan = fastcirc[0] if fastcirc is not None else None
+    fast_arrays, fast_rebuild = _fast_pack(fastcirc)
+    n_fast = len(fast_arrays)
 
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                *rest):
         if fastcirc is not None:
-            (full_ref, band_ref, pcomp_ref, pcu_ref, pcw_ref,
-             out_state_ref, corr_ref, s_scr) = rest
-            fc_t = (plan,
-                    fcirc.FastConst(full=full_ref[...], band=band_ref[...],
-                                    pcomp=pcomp_ref[...], pcu=pcu_ref[...],
-                                    pcw=pcw_ref[...]))
+            fc_t = (plan, fast_rebuild(rest[:n_fast]))
         else:
-            out_state_ref, corr_ref, s_scr = rest
             fc_t = None
+        out_state_ref, corr_ref, s_scr = rest[n_fast:]
         t = pl.program_id(0)
 
         @pl.when(t == 0)

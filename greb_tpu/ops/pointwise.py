@@ -44,7 +44,10 @@ def shortwave(ts, cld_t, sw_solar_t, z_topo, glacier,
     if exp.fixed_albedo:  # legacy log_exp <= 5 (greb.original.model.f90:394)
         a_surf = jnp.full_like(a_surf, p.a_no_ice)
     albedo = a_surf + a_atmos - a_surf * a_atmos
-    col = sw_solar_t if sw_solar_t.ndim == ts.ndim else sw_solar_t[..., :, None]
+    # (..., y) per-latitude forms gain a broadcast lon axis; (..., y, 1)
+    # column forms (Pallas kernels, incl. member-batched) pass through
+    col = (sw_solar_t if sw_solar_t.ndim and sw_solar_t.shape[-1] == 1
+           else sw_solar_t[..., :, None])
     sw = col * (1.0 - albedo)
     return SWResult(sw=sw, albedo=albedo)
 

@@ -9,24 +9,29 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from greb_tpu.ops import fastcirc as fc
+from greb_tpu.ops import fastcirc
+from greb_tpu.ops import fastcirc2
 from greb_tpu.ops import stencils as stc
 
 F32 = np.float32
 
 
-@pytest.fixture(scope="module")
-def fast(setup):
+@pytest.fixture(scope="module", params=[fastcirc, fastcirc2],
+                ids=["v1-banded", "v2-uniform"])
+def fast(request, setup):
+    """(module, plan, const) for both folds — the API is identical, so every
+    parity test below runs against each."""
+    fc = request.param
     wz_air = np.asarray(setup.derived.wz_air)
     wz_vapor = np.asarray(setup.derived.wz_vapor)
     plan, const = fc.build_const(
         wz_air, wz_vapor, setup.grid, setup.st,
         kappa=float(setup.params.kappa))
-    return plan, const
+    return fc, plan, const
 
 
 def _cf(setup, fast, ityr):
-    plan, const = fast
+    fc, plan, const = fast
     return fc.step_coeffs(setup.sfx.u[ityr], setup.sfx.v[ityr], const, plan)
 
 
@@ -57,7 +62,7 @@ def _assert_fields_close(x2, got, want, rtol, name=""):
 
 @pytest.mark.parametrize("ityr", [0, 181, 365, 729])
 def test_single_substep_matches_strict(setup, fast, ityr):
-    plan, const = fast
+    fc, plan, const = fast
     x2 = _state_x2(setup)
     cf = _cf(setup, fast, ityr)
     got = fc.substep(x2, cf, const, plan) - x2
@@ -67,7 +72,7 @@ def test_single_substep_matches_strict(setup, fast, ityr):
 
 @pytest.mark.parametrize("ityr", [0, 365])
 def test_full_circulation_matches_strict(setup, fast, ityr):
-    plan, const = fast
+    fc, plan, const = fast
     x2 = _state_x2(setup)
     cf = _cf(setup, fast, ityr)
     got = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
@@ -78,7 +83,7 @@ def test_full_circulation_matches_strict(setup, fast, ityr):
 def test_clamp_semantics_near_zero_q(setup, fast):
     """The polar positivity clamps are the only nonlinearity; force them to
     fire by making q tiny at the poles and check both paths agree."""
-    plan, const = fast
+    fc, plan, const = fast
     s = setup.state0()
     q = np.asarray(s.q).copy()
     q[:3, :] = 1e-9
@@ -94,7 +99,7 @@ def test_clamp_semantics_near_zero_q(setup, fast):
 
 
 def test_fori_loop_equals_unrolled(setup, fast):
-    plan, const = fast
+    fc, plan, const = fast
     x2 = _state_x2(setup)
     cf = _cf(setup, fast, 7)
     a = fc.circulation(x2, cf, const, plan, nsub=24, unroll=True)
@@ -114,26 +119,36 @@ def test_driver_year_fast_matches_strict(forcing_np):
     from greb_tpu.model.driver import GREB
 
     num = Numerics(time_flux=1, time_scnr=1)
+    cfgs = {"strict": dict(fast_circulation=False),
+            "v1": dict(fast_circulation=True, fastcirc_version=1),
+            "v2": dict(fast_circulation=True, fastcirc_version=2)}
     results = {}
-    for fastf in (False, True):
-        m = GREB(GrebConfig(numerics=num, fast_circulation=fastf),
+    for name, kw in cfgs.items():
+        m = GREB(GrebConfig(numerics=num, **kw),
                  forcing=forcing_from_arrays(forcing_np), verbose=False)
         state_fc, corr = m.flux_correction()
         state, monthly, _ = m.run_scenario(corr, cap_surf=state_fc.cap_surf)
-        results[fastf] = (np.asarray(monthly), np.asarray(state.ts))
-    m_strict, ts_strict = results[False]
-    m_fast, ts_fast = results[True]
-    # temperatures ~250 K: mK-level agreement after 1460 steps; q ~1e-3
-    np.testing.assert_allclose(m_fast[..., :3, :, :], m_strict[..., :3, :, :],
-                               rtol=0, atol=1e-2)
-    np.testing.assert_allclose(m_fast[..., 3, :, :], m_strict[..., 3, :, :],
-                               rtol=1e-3, atol=1e-8)
-    np.testing.assert_allclose(m_fast[..., 4, :, :], m_strict[..., 4, :, :],
-                               rtol=0, atol=2e-4)  # albedo
-    np.testing.assert_allclose(ts_fast, ts_strict, rtol=0, atol=1e-2)
+        results[name] = (np.asarray(monthly), np.asarray(state.ts))
+    m_strict, ts_strict = results["strict"]
+    for name in ("v1", "v2"):
+        m_fast, ts_fast = results[name]
+        # temperatures ~250 K: mK-level agreement after 1460 steps; q ~1e-3
+        np.testing.assert_allclose(m_fast[..., :3, :, :],
+                                   m_strict[..., :3, :, :],
+                                   rtol=0, atol=1e-2, err_msg=name)
+        np.testing.assert_allclose(m_fast[..., 3, :, :],
+                                   m_strict[..., 3, :, :],
+                                   rtol=1e-3, atol=1e-8, err_msg=name)
+        np.testing.assert_allclose(m_fast[..., 4, :, :],
+                                   m_strict[..., 4, :, :],
+                                   rtol=0, atol=2e-4, err_msg=name)  # albedo
+        np.testing.assert_allclose(ts_fast, ts_strict, rtol=0, atol=1e-2,
+                                   err_msg=name)
 
 
-def test_refined_grid_substep_matches_strict():
+@pytest.mark.parametrize("fc", [fastcirc, fastcirc2],
+                         ids=["v1-banded", "v2-uniform"])
+def test_refined_grid_substep_matches_strict(fc):
     """384x192: every row is 'polar' (dxlat < 2.5e5 m everywhere) and the
     pole rows sub-cycle 1800x — the fast path must handle the hemisphere
     band split, explicit fori segments, and the SVD-truncated (lowrank)

@@ -68,11 +68,47 @@ def main() -> None:
         results["xla"] = rate
         print(f"# xla: {rate:.2f} sim-yr/s", file=sys.stderr)
 
+    # --- fused multi-year Pallas kernel (production fast path) -------------
+    # whole blocks of years in ONE pallas_call (ops/pallas/multiyear.py):
+    # no per-year dispatch, monthly means accumulated in-kernel
+    if mode in ("auto", "pallas-multiyear") and platform != "cpu":
+        try:
+            mp = GREB(GrebConfig(numerics=num, use_pallas=True,
+                                 fast_circulation=True), verbose=False)
+            sfc, corr_p = mp.flux_correction()
+            state = mp.initial_state().replace(cap_surf=sfc.cap_surf)
+            runner = mp._multiyear_runner(bench_years)
+            ppack, fpack, sw, cpack, corrpack = mp._multiyear_args(corr_p)
+            fa = mp._pallas_fast_args()
+            co2y = jnp.full((bench_years,), 680.0, jnp.float32)
+            s5 = jnp.stack([state.ts, state.ta, state.to, state.q,
+                            state.cap_surf])[:, None]
+
+            def run_my(s5):
+                s5, monthly = runner(s5, ppack, fpack, sw, cpack, corrpack,
+                                     co2y, *fa)
+                return s5
+
+            s5 = run_my(s5)                       # warm
+            jax.block_until_ready(s5)
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                s5 = run_my(s5)
+            jax.block_until_ready(s5)
+            rate = reps * bench_years / (time.perf_counter() - t0)
+            results["pallas-multiyear"] = rate
+            print(f"# pallas-multiyear: {rate:.2f} sim-yr/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"# pallas-multiyear failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     # --- fused Pallas whole-year kernel ------------------------------------
-    # "pallas-fast" = coefficient-folded circulation (ops/fastcirc.py) inside
-    # the fused year kernel — the production path; "pallas" = strict stencils
+    # "pallas-fast" = coefficient-folded circulation (ops/fastcirc2.py)
+    # inside the fused year kernel; "pallas" = strict stencils
     pallas_modes = []
-    if mode in ("auto", "pallas-fast"):
+    if mode in ("pallas-fast",) or (mode == "auto"
+                                    and os.environ.get("GREB_BENCH_ALL")):
         pallas_modes.append(("pallas-fast", True))
     if mode == "pallas" or (mode == "auto"
                             and os.environ.get("GREB_BENCH_ALL")):
@@ -126,25 +162,30 @@ def main() -> None:
               f"({pts / 1e6:.0f} M point-steps/s)", file=sys.stderr)
         results[f"grid[{grid_env}]"] = rate
 
-    # --- vmapped ensemble aggregate (config 3 of BASELINE.json) -------------
+    # --- ensemble aggregate (config 3 of BASELINE.json) ---------------------
+    # batched MXU runner: member axis inside the arrays, zonal applies as
+    # (M, X) @ (X, X) batched matmuls (fastcirc2.mxu_circulation)
     n_ens = int(os.environ.get("GREB_BENCH_ENS", "0"))
     if n_ens > 0:
         import numpy as _np
+        from greb_tpu.ops import fastcirc2 as fc2
         from greb_tpu.parallel import ensemble as ens
         m = GREB(GrebConfig(numerics=num, fast_circulation=True),
                  verbose=False)
         perturb = {"ct_sens": _np.float32(22.5)
                    * (1.0 + 0.02 * _np.linspace(-1, 1, n_ens, dtype=_np.float32))}
         pb = ens.perturbed_params(m.params, perturb)
-        md_b = ens.ensemble_data(pb, m.forcing, m.sf)
-        state_b = ens.ensemble_initial_state(pb, m.forcing, md_b)
-        plan, fcdata = m._fastcirc_split()
-        flux_v, scnr_v = ens.make_ensemble_runners(
+        md_b = ens.batched_model_data(pb, m.forcing, m.sf)
+        state_b = ens.ensemble_initial_state(
+            pb, m.forcing, ens.ensemble_data(pb, m.forcing, m.sf))
+        plan, (const,) = m._fastcirc_split()
+        fcdata = (const, fc2.build_mxu(const, plan))
+        flux_b, scnr_b = ens.make_batched_ensemble_runners(
             m.st, m.num, m.exp, m.month_mat, fast_plan=plan)
-        state_b, corr_b = flux_v(state_b, m.sfx, co2, md_b, fcdata)
+        state_b, corr_b = flux_b(state_b, m.sfx, co2, md_b, fcdata)
 
         def run_ens(s):
-            s2, _, _ = scnr_v(s, m.sfx, corr_b, co2, md_b, fcdata)
+            s2, _, _ = scnr_b(s, m.sfx, corr_b, co2, md_b, fcdata)
             return s2
 
         years = max(3, bench_years // 4)
@@ -152,6 +193,22 @@ def main() -> None:
         results[f"ensemble[{n_ens}]"] = rate
         print(f"# ensemble[{n_ens}]: {rate:.1f} aggregate sim-yr/s "
               f"({rate / n_ens:.2f} per member)", file=sys.stderr)
+
+    # --- sharded scaling on the virtual CPU mesh (GREB_BENCH_SHARD=N) -------
+    # no multi-chip hardware here; this records that the latitude-sharded
+    # fast path runs end-to-end and how it scales with shard count
+    n_shard = int(os.environ.get("GREB_BENCH_SHARD", "0"))
+    if n_shard > 0:
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={n_shard}")
+        grid = os.environ.get("GREB_BENCH_SHARD_GRID", "96x48")
+        r = subprocess.run([sys.executable, "tools/bench_shard.py",
+                            str(n_shard), grid], env=env,
+                           capture_output=True, text=True, timeout=1800)
+        out = (r.stdout + r.stderr).strip().splitlines()
+        for ln in out[-3:]:
+            print(f"# {ln}", file=sys.stderr)
 
     if not results:
         print("# no benchmark mode ran", file=sys.stderr)

@@ -128,10 +128,12 @@ def run_legacy(model, out_path: str, quiet: bool = False) -> None:
     control_path = os.path.join(base, "control")
     # dump the 730 TF_correct records first (reference :204-206)
     write_records(control_path, np.asarray(corr.tf))
+    # both the control and the scenario run start from the SPIN-UP END state:
+    # the reference re-initializes from Ts_ini etc. (:210, :219), which
+    # qflux_correction mutated in place (Fortran pass-by-reference, :201)
     if model.num.time_ctrl > 0:
         model.run_control(corr, state_fc=state_fc, output_path=control_path)
-    model.run_scenario(corr, cap_surf=state_fc.cap_surf,
-                       output_path=out_path)
+    model.run_scenario(corr, state=state_fc, output_path=out_path)
 
 
 def run_checkpointed(model, out_path: str, args) -> None:
@@ -152,7 +154,7 @@ def run_checkpointed(model, out_path: str, args) -> None:
             print(f"% resumed from checkpoint at year {start_year}")
     else:
         state_fc, corr = model.flux_correction()
-        state = model.initial_state().replace(cap_surf=state_fc.cap_surf)
+        state = state_fc          # phases continue from the spin-up end
 
     writer = OutputWriter(out_path, num.xdim, num.ydim,
                           append=start_year > 0)

@@ -139,10 +139,23 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
     elif fastcirc is not None:
         # coefficient-folded fast path (batched Ta, q along the F axis);
         # the const pytree's type selects the v1 (banded) or v2 (uniform
-        # masked) fold — see ops/fastcirc.py and ops/fastcirc2.py
-        plan, const = fastcirc
+        # masked) fold — see ops/fastcirc.py and ops/fastcirc2.py.  A third
+        # tuple element (MxuConst) switches the zonal applies to the MXU
+        # matmul formulation for large member batches.
+        plan, const = fastcirc[0], fastcirc[1]
+        mxu = fastcirc[2] if len(fastcirc) > 2 else None
         x2 = jnp.stack([state.ta, state.q], axis=-3)
-        if isinstance(const, fc2.Fast2Const):
+        if isinstance(const, fc2.Fast2ShardConst):
+            # latitude-sharded fold: runs on the LOCAL slab inside
+            # shard_map; ``extend`` is the ppermute halo exchange
+            cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
+            dx2 = fc2.sharded_circulation(x2, cf_t, const, plan, nsub,
+                                          extend, unroll=unroll_circ)
+        elif mxu is not None:
+            cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
+            dx2 = fc2.mxu_circulation(x2, cf_t, const, mxu, plan, nsub,
+                                      unroll=unroll_circ)
+        elif isinstance(const, fc2.Fast2Const):
             cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
             dx2 = fc2.circulation(x2, cf_t, const, plan, nsub,
                                   unroll=unroll_circ)

@@ -184,7 +184,8 @@ class GREB:
                                          co2, *fast_args)
                 # monthly means: (12,t) @ (t,5,y,x) — one MXU contraction
                 monthly = jnp.einsum('mt,tvyx->mvyx', month_mat, outs[:, :5],
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
                 # the kernel streams the 5 reference output vars; the 4
                 # console-diagnostic extras are zero-filled (XLA-path only)
                 n_out = outs.shape[1]
@@ -196,6 +197,27 @@ class GREB:
 
             self._jit_cache["scnr_pl"] = jax.jit(run)
         return self._jit_cache["scnr_pl"]
+
+    def _multiyear_runner(self, n_years: int):
+        """Fused multi-year scenario kernel (M=1): one pallas_call per
+        ``n_years`` block — no per-year dispatch or pipeline teardown."""
+        key = ("scnr_my", n_years)
+        if key not in self._jit_cache:
+            from ..ops.pallas import multiyear as my
+            run = my.build_scenario_years(self.md, self.st, self._sf_np,
+                                          self.num, self.exp,
+                                          n_years=n_years, n_members=1, mb=1,
+                                          fastcirc=self.fastcirc_tables())
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _multiyear_args(self, corr: Corrections):
+        from ..ops.pallas import multiyear as my
+        from ..parallel.ensemble import stack_params
+        fpack, sw, cpack = self._pallas_packs()
+        ppack = my.pack_member_params(stack_params([self.params]))
+        corrpack = jnp.stack([corr.tf, corr.tof, corr.qf], axis=1)[None]
+        return ppack, fpack, sw, cpack, corrpack
 
     # -- phases ---------------------------------------------------------------
     def initial_state(self) -> ModelState:
@@ -239,8 +261,15 @@ class GREB:
                      co2_series: Optional[np.ndarray] = None,
                      output_path: Optional[str] = None,
                      cap_surf: Optional[jax.Array] = None,
-                     collect_monthly: bool = True):
+                     collect_monthly: bool = True,
+                     years_per_call: int = 1):
         """Scenario phase (reference src/greb.f90:223-234).
+
+        ``years_per_call > 1`` (Pallas path only) fuses blocks of years into
+        one multi-year kernel call — per-year host dispatch disappears; the
+        per-year console diagnostics are then derived from the monthly
+        means (weights = month lengths), which equals the reference's
+        step-mean accumulator up to float32 summation order.
 
         Returns (state, monthly (years,12,5,y,x) | None, diag list)."""
         num = self.num
@@ -262,6 +291,11 @@ class GREB:
         if output_path:
             from ..io.binio import OutputWriter
             writer = OutputWriter(output_path, num.xdim, num.ydim)
+
+        if (years_per_call > 1 and self.cfg.use_pallas
+                and self._pallas_viable()):
+            return self._run_scenario_multiyear(
+                corr, state, years, co2_series, writer, years_per_call)
 
         if self.cfg.use_pallas and self._pallas_viable():
             fpack, sw, cpack = self._pallas_packs()
@@ -311,6 +345,60 @@ class GREB:
         monthly_arr = np.stack(monthly_all) if monthly_all else None
         return state, monthly_arr, diags
 
+    def _run_scenario_multiyear(self, corr, state, years, co2_series,
+                                writer, years_per_call):
+        """Scenario phase in fused multi-year blocks (see run_scenario)."""
+        num = self.num
+        nmon = len(num.jday_mon)
+        ppack, fpack, sw, cpack, corrpack = self._multiyear_args(corr)
+        fast_args = self._pallas_fast_args()
+        # month-length weights turn monthly means into the annual mean
+        steps_mon = np.array([d * num.ndt_days for d in num.jday_mon], F32)
+        wmon = steps_mon / steps_mon.sum()
+        ft_mean, fq_mean = core.correction_annual_means(corr)
+        if self.verbose:
+            print(f"% MODEL RUN; years = {years} "
+                  f"(fused blocks of {years_per_call})")
+            print("console output: year, co2, global avg temp, "
+                  "avg temp for ipx/ipy")
+        state5 = jnp.stack([state.ts, state.ta, state.to, state.q,
+                            state.cap_surf])[:, None]
+        monthly_all, diags = [], []
+        year = num.year0
+        done = 0
+        while done < years:
+            ny = min(years_per_call, years - done)
+            runner = self._multiyear_runner(ny)
+            co2y = jnp.asarray(co2_series[done:done + ny], jnp.float32)
+            state5, monthly = runner(state5, ppack, fpack, sw, cpack,
+                                     corrpack, co2y, *fast_args)
+            monthly_np = np.asarray(monthly)[0].reshape(
+                ny, nmon, 5, num.ydim, num.xdim)
+            for iy in range(ny):
+                monthly_all.append(monthly_np[iy])
+                if writer:
+                    writer.write_months(monthly_np[iy])
+                ann = np.einsum('m,mvyx->vyx', wmon, monthly_np[iy])
+                gm = ann[0].mean()
+                pt = ann[0][num.ipy - 1, num.ipx - 1]
+                mean_fields = core.StepOutputs(
+                    ts=ann[0], ta=ann[1], to=ann[2], q=ann[3], albedo=ann[4],
+                    sw=None, lw_surf=None, q_lat=None, q_sens=None)
+                diags.append(core.YearDiag(
+                    global_mean_ts=gm, point_ts=pt, mean_fields=mean_fields,
+                    ft_mean=ft_mean, fq_mean=fq_mean))
+                if self.verbose:
+                    print(f" {year + 1} {float(co2_series[done + iy]):10.4f} "
+                          f"{float(gm) - 273.15:12.6f} "
+                          f"{float(pt) - 273.15:12.6f}")
+                year += 1
+            done += ny
+        if writer:
+            writer.close()
+        final = ModelState(ts=state5[0, 0], ta=state5[1, 0], to=state5[2, 0],
+                           q=state5[3, 0], cap_surf=state5[4, 0])
+        return final, np.stack(monthly_all), diags
+
     # -- the reference's full default workload --------------------------------
     def run(self, output_path: Optional[str] = None):
         """Full reference workload: flux correction then scenario
@@ -319,8 +407,11 @@ class GREB:
         state_fc, corr = self.flux_correction()
         out_path = output_path if output_path is not None else (
             self.cfg.diagnostics.output_file_full or None)
+        # the scenario CONTINUES from the spin-up end state (the reference's
+        # module arrays persist across phases, src/greb.f90:219-234; Ts/q/To
+        # are pinned to climatology by the corrections but Ta is free)
         state, monthly, diags = self.run_scenario(
-            corr, cap_surf=state_fc.cap_surf, output_path=out_path)
+            corr, state=state_fc, output_path=out_path)
         if self.verbose:
             dt = time.perf_counter() - t0
             tot = self.num.time_flux + self.num.time_scnr
@@ -331,10 +422,10 @@ class GREB:
     def run_control(self, corr: Corrections,
                     state_fc: Optional[ModelState] = None,
                     output_path: Optional[str] = None):
-        """Legacy control-run phase at CO2_ctrl
-        (greb.original.model.f90:208-215)."""
+        """Legacy control-run phase at CO2_ctrl, starting from the spin-up
+        end state (greb.original.model.f90:208-215; Ts_ini was mutated in
+        place by qflux_correction at :201)."""
         num = self.num
         co2 = np.full(max(num.time_ctrl, 1), self.exp.co2_ctrl, F32)
-        cap = state_fc.cap_surf if state_fc is not None else None
         return self.run_scenario(corr, years=num.time_ctrl, co2_series=co2,
-                                 output_path=output_path, cap_surf=cap)
+                                 output_path=output_path, state=state_fc)

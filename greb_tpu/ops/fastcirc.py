@@ -560,12 +560,15 @@ def _apply_composite(t1: jax.Array, const: FastConst,
                               axis=-2)
         if lowrank:
             z = jnp.einsum('...fkx,fkxr->...fkr', sel, const.pcu,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             y = jnp.einsum('...fkr,fkrx->...fkx', z, const.pcw,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         else:
             y = jnp.einsum('...fkx,fkxy->...fky', sel, const.pcomp,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return jnp.concatenate([y[..., :ktc, :], t1[..., ktc:B - kbc, :],
                                 y[..., ktc:, :]], axis=-2)
 
@@ -573,11 +576,14 @@ def _apply_composite(t1: jax.Array, const: FastConst,
         # (1, X) @ composite — plain 2-D dots (Mosaic-lowerable)
         if lowrank:
             z = jnp.dot(tf_row, const.pcu[f, k],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             return jnp.dot(z, const.pcw[f, k],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return jnp.dot(tf_row, const.pcomp[f, k],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     bands = []
     for f in range(F):

@@ -258,11 +258,14 @@ def _row_dot(t_row: jax.Array, f: int, k: int, const: Fast2Const,
     lead = t_row.shape[:-1]
     flat = t_row.reshape((-1, t_row.shape[-1])) if t_row.ndim != 2 else t_row
     if lowrank:
-        z = jnp.dot(flat, const.pcu[f, k], preferred_element_type=jnp.float32)
-        out = jnp.dot(z, const.pcw[f, k], preferred_element_type=jnp.float32)
+        z = jnp.dot(flat, const.pcu[f, k], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        out = jnp.dot(z, const.pcw[f, k], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     else:
         out = jnp.dot(flat, const.pcomp[f, k],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape(lead + (out.shape[-1],))
 
 
@@ -342,10 +345,392 @@ def _extra_advection(x, da, cf: Fast2Coeffs, plan: FastPlan):
     return new_da
 
 
+# ---------------------------------------------------------------------------
+# MXU (matmul) formulation for large member batches
+# ---------------------------------------------------------------------------
+# At 96x48 the VPU roll+FMA substep is tile-throughput-bound: batching M
+# members multiplies the tile work, capping the chip at ~150 aggregate
+# member-yr/s.  But each zonal apply is x_row @ Z_row with a (X, X) banded
+# matrix SHARED across members — at M >= ~64 a batched einsum on the MXU
+# (128x128 systolic array) does the same math ~3x faster per member.  The
+# matrices are exact densifications of the 7-band coefficients (the extra
+# X-7 zero terms cannot change a float32 sum), so results match the VPU
+# fold bit-for-bit up to contraction order.
+
+@struct.dataclass
+class MxuConst:
+    zd_mat: jax.Array   # (F, Y, X, X) dense zonal-diffusion row matrices
+    shift1h: jax.Array  # (7, X, X) one-hot shift tensors (densify za per step)
+
+
+def build_mxu(const: Fast2Const, plan: FastPlan) -> MxuConst:
+    """Densify the constant zonal-diffusion coefficients into per-row
+    matrices and precompute the one-hot shift tensors used to densify the
+    per-step advection coefficients on device."""
+    zd = np.asarray(const.zd)                   # (7, F, Y, X)
+    _, F, Y, X = zd.shape
+    jout = np.arange(X)
+    zmat = np.zeros((F, Y, X, X), np.float32)
+    zmat[:, :, jout, jout] = zd[3]
+    for i, s in _LON_IDX_SHIFT:
+        zmat[:, :, (jout - s) % X, jout] += zd[i]
+    sh = np.zeros((7, X, X), np.float32)
+    sh[3, jout, jout] = 1.0
+    for i, s in _LON_IDX_SHIFT:
+        sh[i, (jout - s) % X, jout] = 1.0
+    return MxuConst(zd_mat=jnp.asarray(zmat), shift1h=jnp.asarray(sh))
+
+
+def adv_matrix(za: jax.Array, mxu: MxuConst) -> jax.Array:
+    """Densify one step's assembled advection coefficients (7, F, Y, X)
+    into (F, Y, X, X) row matrices (one small einsum per step, amortized
+    over the step's substeps).  The shift tensor is exact one-hots, so any
+    matmul precision reproduces the coefficients bit-for-bit; HIGHEST keeps
+    it trivially exact."""
+    return jnp.einsum('sfyo,sxo->fyxo', za, mxu.shift1h,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _row_matmul(x: jax.Array, mat: jax.Array) -> jax.Array:
+    """(..., F, Y, X) x (F, Y, X, X) batched over (F, Y) rows (MXU).
+
+    Precision HIGH (bf16_3x passes): ~2^-21 relative error on these
+    magnitudes — same order as the float32 reassociation the folds already
+    accept — at 1.34x the aggregate throughput of HIGHEST (measured on
+    v5e at M=256: 257 vs 192 member-yr/s)."""
+    return jnp.einsum('...fyx,fyxz->...fyz', x, mat,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGH)
+
+
+def mxu_substep(x: jax.Array, cf: Fast2Coeffs, za_mat: jax.Array,
+                const: Fast2Const, mxu: MxuConst, plan: FastPlan
+                ) -> jax.Array:
+    """One dt_crcl substep with the zonal applies on the MXU."""
+    Y = x.shape[-2]
+    dd = _row_matmul(x, mxu.zd_mat)
+    dd = _masked_clamp(dd, x, const.band)
+    dd = _extra_diffusion(x, dd, const, plan)
+    da = _row_matmul(x, za_mat)
+    da = _masked_clamp(da, x, const.band)
+    da = _extra_advection(x, da, cf, plan)
+    xe = extend_lat_zero(x, 2)
+    dy = cf.c0m * x
+    dy = dy + cf.mc[0] * xe[..., 0:Y, :]
+    dy = dy + cf.mc[1] * xe[..., 1:Y + 1, :]
+    dy = dy + cf.mc[2] * xe[..., 3:Y + 3, :]
+    dy = dy + cf.mc[3] * xe[..., 4:Y + 4, :]
+    return x + const.wz * dd + da + dy
+
+
+def mxu_circulation(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const,
+                    mxu: MxuConst, plan: FastPlan, nsub: int,
+                    unroll=False) -> jax.Array:
+    """Sub-cycled circulation increment, MXU formulation (large batches)."""
+    za_mat = adv_matrix(cf.za, mxu)
+    step = lambda xc: mxu_substep(xc, cf, za_mat, const, mxu, plan)
+    if unroll is True:
+        xc = x
+        for _ in range(nsub):
+            xc = step(xc)
+    elif isinstance(unroll, int) and 1 < unroll <= nsub and nsub % unroll == 0:
+        def block(i, xc):
+            for _ in range(unroll):
+                xc = step(xc)
+            return xc
+        xc = jax.lax.fori_loop(0, nsub // unroll, block, x)
+    else:
+        xc = jax.lax.fori_loop(0, nsub, lambda i, xc: step(xc), x)
+    return xc - x
+
+
 def extend_lat_zero(x: jax.Array, width: int) -> jax.Array:
     """Default meridional halo: zeros beyond the poles (one-sided forms)."""
     pad = [(0, 0)] * (x.ndim - 2) + [(width, width), (0, 0)]
     return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# latitude-sharded variant
+# ---------------------------------------------------------------------------
+# Under shard_map every shard must run the SAME program.  The uniform fold
+# is already shard-friendly (coefficients/masks are (Y, X) fields that shard
+# like the state; lon rolls are shard-local; the meridional pass takes a
+# ppermute-backed halo extension).  What needs restructuring is the extra
+# sub-cycle iterations, whose row slices are GLOBAL static positions:
+#
+# * diffusion: ALL rows with time2 > 1 collapse into per-row composite
+#   operators (no explicit segments — unlike the unsharded plan there is no
+#   LOWRANK_N explicit window).  Because time2 grows monotonically toward
+#   each pole, composite rows are a global top-prefix/bottom-suffix, so each
+#   shard's composite rows are a LOCAL prefix/suffix — the same static
+#   slice on every shard, padded with zero operators + an identity flag on
+#   shards that own fewer such rows.
+# * advection cannot be precomposed (its coefficients carry the step's
+#   winds), so the iterating rows — also a local prefix/suffix — iterate
+#   explicitly for the GLOBAL maximum count with per-level 0/1 row masks
+#   (a masked row's increment is exactly 0, so the clamp keeps it 0).
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ShardPlan:
+    """Static structure of the latitude-sharded fast path."""
+    ydim: int                # GLOBAL rows
+    xdim: int
+    n_shards: int
+    kct: int                 # composite rows at each shard's local top
+    kcb: int                 # ... and local bottom
+    lat: int                 # adv explicit slab rows at local top
+    lab: int                 # ... and local bottom
+    la_levels: int           # extra advection iterations (global max - 1)
+    comp_mode: str           # "dense" | "lowrank" | "none"
+
+    @property
+    def rloc(self) -> int:
+        return self.ydim // self.n_shards
+
+
+@struct.dataclass
+class Fast2ShardConst:
+    """Global (shardable) arrays of the sharded fast path.  Field arrays
+    shard along their Y axis; the stacked composite arrays shard along the
+    per-shard-block axis (n_shards * (kct+kcb))."""
+    zd: jax.Array        # (7, F, Y, X)
+    zam: jax.Array       # (8, F, Y, X)
+    mer: jax.Array       # (9, F, Y, X)
+    wz: jax.Array        # (F, Y, X)
+    band: jax.Array      # (Y, 1) bool
+    amask: jax.Array     # (La, Y, 1) adv per-level iteration masks (f32 0/1)
+    pcomp: jax.Array     # (F, n_sh*K, X, X) dense composites (zeros if unused)
+    pcu: jax.Array       # (F, n_sh*K, X, r) lowrank factors
+    pcw: jax.Array       # (F, n_sh*K, r, X)
+    pid: jax.Array       # (n_sh*K, 1) 1.0 where the slot is an identity pad
+
+
+def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
+                  st: stc.StencilStatic, kappa: float, n_shards: int,
+                  include_advection: bool = True,
+                  ) -> Tuple[ShardPlan, Fast2ShardConst]:
+    """Build the sharded plan + global constant arrays for an n_shards
+    latitude decomposition (ydim % n_shards == 0)."""
+    Y, X = grid.ydim, grid.xdim
+    assert Y % n_shards == 0, "ydim must divide evenly across shards"
+    R = Y // n_shards
+    plan, const = build_const(wz_air, wz_vapor, grid, st, kappa,
+                              include_advection=include_advection)
+    d2 = np.asarray(grid.diff_sched.time2)
+    a2 = np.asarray(grid.adv_sched.time2)
+    # diffusion composite rows: every row with time2 > 1 (top prefix /
+    # bottom suffix globally; hemispheres split at Y//2 for all-polar grids)
+    half = Y // 2
+    kt_g = int((d2[:half] > 1).sum())
+    kb_g = int((d2[half:] > 1).sum())
+    assert (d2[:kt_g] > 1).all() and (d2[kt_g:half] <= 1).all()
+    assert (d2[Y - kb_g:] > 1).all() and (d2[half:Y - kb_g] <= 1).all()
+
+    def loc_top(i):
+        return int(np.clip(kt_g - i * R, 0, R))
+
+    def loc_bot(i):
+        return int(np.clip(kb_g - (n_shards - 1 - i) * R, 0, R))
+
+    kct = max(loc_top(i) for i in range(n_shards))
+    kcb = max(loc_bot(i) for i in range(n_shards))
+    K = kct + kcb
+
+    F = 2
+    # dense when the PER-SHARD block fits comfortably (it lives in HBM under
+    # XLA, so the bound is generous); else SVD-truncated
+    if kt_g + kb_g == 0:
+        mode = "none"
+    elif 2 * F * K * X * X * 4 <= 64 * 2 ** 20:
+        mode = "dense"
+    else:
+        mode = "lowrank"
+
+    # placeholders keep the sharded axis divisible by n_shards even when
+    # no composite rows exist (comp_mode "none")
+    nk = n_shards * max(K, 1)
+    pcomp = np.zeros((F, nk, X, X) if mode == "dense" else (F, nk, 1, 1), F32)
+    pcu = np.zeros((F, nk, X, 1) if mode == "lowrank" else (F, nk, 1, 1), F32)
+    pcw = np.zeros((F, nk, 1, X) if mode == "lowrank" else (F, nk, 1, 1), F32)
+    pid = np.ones((nk, 1), F32)
+    if mode != "none":
+        # global composite operators for the kt_g + kb_g rows
+        bidx = np.r_[np.arange(kt_g), np.arange(Y - kb_g, Y)]
+        zd64 = np.asarray(const.zd, np.float64)
+        pdc64 = zd64[:, :, bidx, :]
+        n_extra = d2[bidx] - 1
+        gplan = FastPlan(ydim=Y, xdim=X, bt=kt_g, bb=kb_g, diff_segs=(),
+                         adv_segs=(), comp_mode=mode, comp_kt=kt_g,
+                         comp_kb=kb_g)
+        pg, pug, pwg = v1.build_composites(pdc64, n_extra, gplan, F,
+                                           kt_g + kb_g, X)
+        rank = pug.shape[-1]
+        if mode == "lowrank":
+            pcu = np.zeros((F, n_shards * K, X, rank), F32)
+            pcw = np.zeros((F, n_shards * K, rank, X), F32)
+        for i in range(n_shards):
+            ct, cb = loc_top(i), loc_bot(i)
+            for j in range(ct):                     # local top prefix
+                gk = i * R + j                      # global composite index
+                slot = i * K + j
+                pid[slot] = 0.0
+                if mode == "dense":
+                    pcomp[:, slot] = pg[:, gk]
+                else:
+                    pcu[:, slot] = pug[:, gk]
+                    pcw[:, slot] = pwg[:, gk]
+            for j in range(cb):                     # local bottom suffix
+                grow = (i + 1) * R - cb + j         # global row
+                gk = kt_g + (grow - (Y - kb_g))     # index into bottom block
+                slot = i * K + kct + (kcb - cb) + j
+                pid[slot] = 0.0
+                if mode == "dense":
+                    pcomp[:, slot] = pg[:, gk]
+                else:
+                    pcu[:, slot] = pug[:, gk]
+                    pcw[:, slot] = pwg[:, gk]
+
+    # advection explicit slabs + per-level masks
+    la_g_t = int((a2[:half] > 1).sum())
+    la_g_b = int((a2[half:] > 1).sum())
+    assert (a2[:la_g_t] > 1).all() and (a2[la_g_t:half] <= 1).all()
+    assert (a2[Y - la_g_b:] > 1).all()
+    lat = max(int(np.clip(la_g_t - i * R, 0, R)) for i in range(n_shards))
+    lab = max(int(np.clip(la_g_b - (n_shards - 1 - i) * R, 0, R))
+              for i in range(n_shards))
+    la_levels = max(int(a2.max(initial=1)) - 1, 0)
+    amask = np.zeros((max(la_levels, 1), Y, 1), F32)
+    for l in range(la_levels):
+        amask[l, :, 0] = (a2 > l + 1).astype(F32)
+
+    splan = ShardPlan(ydim=Y, xdim=X, n_shards=n_shards, kct=kct, kcb=kcb,
+                      lat=lat, lab=lab, la_levels=la_levels, comp_mode=mode)
+    sconst = Fast2ShardConst(
+        zd=const.zd, zam=const.zam, mer=const.mer, wz=const.wz,
+        band=const.band, amask=jnp.asarray(amask),
+        pcomp=jnp.asarray(pcomp), pcu=jnp.asarray(pcu),
+        pcw=jnp.asarray(pcw), pid=jnp.asarray(pid))
+    return splan, sconst
+
+
+def _sharded_extra_diffusion(x, dd, const: Fast2ShardConst, splan: ShardPlan):
+    """Composite rows at the local top/bottom (identity-flagged padding on
+    shards that own fewer composite rows)."""
+    if splan.comp_mode == "none" or (splan.kct + splan.kcb) == 0:
+        return dd
+    R = x.shape[-2]
+    kct, kcb = splan.kct, splan.kcb
+    lowrank = splan.comp_mode == "lowrank"
+    F = const.wz.shape[-3]
+
+    def comp_rows(r0, n, k0):
+        parts = []
+        for j in range(n):
+            r = r0 + j
+            k = k0 + j
+            fparts = []
+            for f in range(F):
+                t1 = x[..., f, r:r + 1, :] + dd[..., f, r:r + 1, :]
+                lead = t1.shape[:-1]
+                flat = t1.reshape((-1, t1.shape[-1])) if t1.ndim != 2 else t1
+                if lowrank:
+                    z = jnp.dot(flat, const.pcu[f, k],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    t2 = jnp.dot(z, const.pcw[f, k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                else:
+                    t2 = jnp.dot(flat, const.pcomp[f, k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                t2 = t2.reshape(lead + (t2.shape[-1],))
+                # identity-flagged slots pass t1 through exactly
+                t2 = t2 + const.pid[k] * t1
+                t1 = t1 + v1._clamped(t2 - t1, t1)
+                fparts.append(t1 - x[..., f, r:r + 1, :])
+            parts.append(jnp.stack(fparts, axis=-3))
+        return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+    slabs = []
+    if kct:
+        slabs.append(comp_rows(0, kct, 0))
+    slabs.append(dd[..., kct:R - kcb, :])
+    if kcb:
+        slabs.append(comp_rows(R - kcb, kcb, kct))
+    return jnp.concatenate(slabs, axis=-2) if len(slabs) > 1 else slabs[0]
+
+
+def _sharded_extra_advection(x, da, cf: Fast2Coeffs, amask, splan: ShardPlan):
+    """Per-level masked iteration on the local top/bottom slabs: a masked
+    row's increment is exactly zero, so non-iterating rows (and whole
+    interior shards) pass through bit-exactly."""
+    if splan.la_levels == 0 or (splan.lat + splan.lab) == 0:
+        return da
+    R = x.shape[-2]
+
+    def slab_iter(r0, r1):
+        t1 = x[..., r0:r1, :] + da[..., r0:r1, :]
+        cseg = cf.za[:, :, r0:r1, :]
+        for l in range(splan.la_levels):
+            m = amask[l, r0:r1, :]
+            d = v1._apply7(t1, cseg) * m
+            t1 = t1 + v1._clamped(d, t1)
+        return t1 - x[..., r0:r1, :]
+
+    parts = []
+    if splan.lat:
+        parts.append(slab_iter(0, splan.lat))
+    parts.append(da[..., splan.lat:R - splan.lab, :])
+    if splan.lab:
+        parts.append(slab_iter(R - splan.lab, R))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+
+def sharded_substep(x, cf: Fast2Coeffs, const: Fast2ShardConst,
+                    splan: ShardPlan, extend: Callable) -> jax.Array:
+    """One substep on a LOCAL latitude slab (inside shard_map); ``extend``
+    supplies the width-2 meridional halo (parallel.halo)."""
+    R = x.shape[-2]
+    rolls = [jnp.roll(x, s, axis=-1) for _, s in _LON_IDX_SHIFT]
+    dd = _apply7_rolled(rolls, x, const.zd)
+    dd = _masked_clamp(dd, x, const.band)
+    dd = _sharded_extra_diffusion(x, dd, const, splan)
+    da = _apply7_rolled(rolls, x, cf.za)
+    da = _masked_clamp(da, x, const.band)
+    da = _sharded_extra_advection(x, da, cf, const.amask, splan)
+    xe = extend(x, 2)
+    dy = cf.c0m * x
+    dy = dy + cf.mc[0] * xe[..., 0:R, :]
+    dy = dy + cf.mc[1] * xe[..., 1:R + 1, :]
+    dy = dy + cf.mc[2] * xe[..., 3:R + 3, :]
+    dy = dy + cf.mc[3] * xe[..., 4:R + 4, :]
+    return x + const.wz * dd + da + dy
+
+
+def sharded_circulation(x, cf: Fast2Coeffs, const: Fast2ShardConst,
+                        splan: ShardPlan, nsub: int, extend: Callable,
+                        unroll=False) -> jax.Array:
+    """Sub-cycled circulation increment on a local slab (shard_map body)."""
+    step = lambda xc: sharded_substep(xc, cf, const, splan, extend)
+    if unroll is True:
+        xc = x
+        for _ in range(nsub):
+            xc = step(xc)
+    elif isinstance(unroll, int) and 1 < unroll <= nsub and nsub % unroll == 0:
+        def block(i, xc):
+            for _ in range(unroll):
+                xc = step(xc)
+            return xc
+        xc = jax.lax.fori_loop(0, nsub // unroll, block, x)
+    else:
+        xc = jax.lax.fori_loop(0, nsub, lambda i, xc: step(xc), x)
+    return xc - x
 
 
 def substep(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const, plan: FastPlan,

@@ -75,6 +75,72 @@ def fastcirc_shareable(perturb_keys) -> bool:
     return not (set(perturb_keys) & TRANSPORT_PARAM_KEYS)
 
 
+def _bcastable(a, ndim_extra: int = 2):
+    """(M,) leaf -> (M, 1, 1) so it broadcasts against (M, y, x) fields in
+    the BATCHED (non-vmap) ensemble runners."""
+    a = jnp.asarray(a)
+    return a.reshape(a.shape + (1,) * ndim_extra) if a.ndim == 1 else a
+
+
+def batched_model_data(params_b: PhysicsParams, forcing: ClimForcing,
+                       sf) -> core.ModelData:
+    """ModelData whose per-member leaves broadcast WITHOUT vmap: scalar
+    params/derived become (M, 1, 1); p_emi becomes a tuple of 10 (M, 1, 1)
+    leaves (indexed p_emi[i] in the physics ops)."""
+    md = ensemble_data(params_b, forcing, sf)
+    pe = jnp.asarray(params_b.p_emi)               # (M, 10)
+    pkw = {f: _bcastable(getattr(params_b, f))
+           for f in PhysicsParams.__dataclass_fields__ if f != "p_emi"}
+    params = PhysicsParams(p_emi=tuple(pe[:, i].reshape(-1, 1, 1)
+                                       for i in range(10)), **pkw)
+    d = md.derived
+    derived = d.replace(cap_ocean=_bcastable(d.cap_ocean),
+                        cap_land=_bcastable(d.cap_land),
+                        cap_air=_bcastable(d.cap_air))
+    return core.ModelData(params=params, derived=derived, z_topo=md.z_topo,
+                          glacier=md.glacier, sf=md.sf)
+
+
+def make_batched_ensemble_runners(st, num, exp, month_mat, extend=None,
+                                  unroll_circ: bool = False, fast_plan=None):
+    """Batched (leading-member-axis, no vmap) ensemble runners.
+
+    Unlike the vmapped runners, the member axis stays a REAL array axis all
+    the way into the circulation, so the zonal applies can run on the MXU
+    as (M, X) @ (X, X) batched matmuls (fastcirc2.mxu_circulation) — ~3x
+    the aggregate member throughput of the VPU fold at M >= 64 on a v5e.
+    Corrections travel time-major ((t, M, y, x)) to serve as scan xs.
+
+    ``fcdata = (Fast2Const,)`` uses the VPU fold; ``fcdata = (Fast2Const,
+    MxuConst)`` (from fastcirc2.build_mxu) selects the MXU formulation.
+    Per-member params must come from ``batched_model_data`` so scalar
+    leaves broadcast as (M, 1, 1).
+
+    fluxcorr_year(state_B, sfx, co2, md_B, fcdata) -> (state_B, corr_tM)
+    scenario_year(state_B, sfx, corr_tM, co2, md_B, fcdata)
+        -> (state_B, monthly (M, nmon, 5, y, x), mean_fields_B)
+    """
+    from ..ops import stencils as stc
+    extend = extend or stc.extend_lat_zero
+
+    def _fcirc(fcdata):
+        if fcdata is None:
+            return None
+        return (fast_plan,) + tuple(fcdata)
+
+    def flux_year(state, sfx, co2, md, fcdata=None):
+        return core.run_year_fluxcorr(state, sfx, co2, md, st, num, exp,
+                                      extend, unroll_circ,
+                                      fastcirc=_fcirc(fcdata))
+
+    def scnr_year(state, sfx, corr, co2, md, fcdata=None):
+        return core.run_year_scenario(state, sfx, corr, co2, md, st, num,
+                                      exp, month_mat, extend, unroll_circ,
+                                      fastcirc=_fcirc(fcdata))
+
+    return jax.jit(flux_year), jax.jit(scnr_year)
+
+
 def make_ensemble_runners(st, num, exp, month_mat, extend=None,
                           unroll_circ: bool = False, fast_plan=None):
     """Returns jitted (fluxcorr_year, scenario_year) vmapped over members.

@@ -91,15 +91,42 @@ def _shard_map(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
+def _fastcirc_specs():
+    """PartitionSpecs for fastcirc2.Fast2ShardConst: field arrays shard
+    along their Y axis; stacked composites along the per-shard-block axis."""
+    from ..ops import fastcirc2 as fc2
+    return fc2.Fast2ShardConst(
+        zd=P(None, None, "y", None), zam=P(None, None, "y", None),
+        mer=P(None, None, "y", None), wz=P(None, "y", None),
+        band=P("y", None), amask=P(None, "y", None),
+        pcomp=P(None, "y", None, None), pcu=P(None, "y", None, None),
+        pcw=P(None, "y", None, None), pid=P("y", None))
+
+
+def shard_fastcirc(mesh: Mesh, sconst):
+    """device_put a Fast2ShardConst with the matching NamedShardings."""
+    from jax.sharding import NamedSharding
+    specs = _fastcirc_specs()
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        sconst, specs)
+
+
 def make_sharded_year_runners(mesh: Mesh, st: stc.StencilStatic,
                               num: Numerics, exp: Experiment,
                               month_mat: jax.Array,
                               batched: bool = False,
-                              unroll_circ: bool = False):
+                              unroll_circ: bool = False,
+                              fast_plan=None):
     """jitted (fluxcorr_year, scenario_year) over a ('ens','y') mesh.
 
     batched=True expects a leading ensemble axis on state/corr/md(params,
     derived); forcing and stencil constants are shared.
+
+    ``fast_plan`` (a fastcirc2.ShardPlan from fastcirc2.build_sharded)
+    enables the coefficient-folded circulation under latitude sharding; the
+    runners then take a trailing Fast2ShardConst argument (sharded with
+    shard_fastcirc).  Without it the strict masked stencils run.
     """
     import dataclasses
     n_y = mesh.shape["y"]
@@ -108,38 +135,46 @@ def make_sharded_year_runners(mesh: Mesh, st: stc.StencilStatic,
     # masked full-field form is the SPMD-uniform one
     st = dataclasses.replace(st, compact_polar=False)
     s_state, s_sfx, s_corr, s_md, s_monthly, s_meanf = _specs(batched)
+    with_fc = fast_plan is not None
+    s_fc = _fastcirc_specs() if with_fc else None
 
-    def flux_one(state, sfx, co2, md):
+    def _fc(fcconst):
+        return (fast_plan, fcconst) if fcconst is not None else None
+
+    def flux_one(state, sfx, co2, md, fcconst=None):
         return core.run_year_fluxcorr(state, sfx, co2, md, st, num, exp,
-                                      extend, unroll_circ)
+                                      extend, unroll_circ,
+                                      fastcirc=_fc(fcconst))
 
-    def scnr_one(state, sfx, corr, co2, md):
+    def scnr_one(state, sfx, corr, co2, md, fcconst=None):
         return core.run_year_scenario(state, sfx, corr, co2, md, st, num,
-                                      exp, month_mat, extend, unroll_circ)
+                                      exp, month_mat, extend, unroll_circ,
+                                      fastcirc=_fc(fcconst))
 
     if batched:
-        def flux_local(state, sfx, co2, md):
+        _md_ax = core.ModelData(params=0, derived=0, z_topo=None,
+                                glacier=None, sf=None)
+
+        def flux_local(state, sfx, co2, md, fcconst=None):
             return jax.vmap(
-                lambda s, m: flux_one(s, sfx, co2, m),
-                in_axes=(0, core.ModelData(params=0, derived=0, z_topo=None,
-                                           glacier=None, sf=None)),
+                lambda s, m: flux_one(s, sfx, co2, m, fcconst),
+                in_axes=(0, _md_ax),
             )(state, md)
 
-        def scnr_local(state, sfx, corr, co2, md):
+        def scnr_local(state, sfx, corr, co2, md, fcconst=None):
             return jax.vmap(
-                lambda s, c, m: scnr_one(s, sfx, c, co2, m),
-                in_axes=(0, 0, core.ModelData(params=0, derived=0,
-                                              z_topo=None, glacier=None,
-                                              sf=None)),
+                lambda s, c, m: scnr_one(s, sfx, c, co2, m, fcconst),
+                in_axes=(0, 0, _md_ax),
             )(state, corr, md)
     else:
         flux_local, scnr_local = flux_one, scnr_one
 
-    flux_sh = _shard_map(flux_local, mesh,
-                         in_specs=(s_state, s_sfx, P(), s_md),
+    flux_in = (s_state, s_sfx, P(), s_md) + ((s_fc,) if with_fc else ())
+    scnr_in = (s_state, s_sfx, s_corr, P(), s_md) + ((s_fc,) if with_fc
+                                                     else ())
+    flux_sh = _shard_map(flux_local, mesh, in_specs=flux_in,
                          out_specs=(s_state, s_corr))
-    scnr_sh = _shard_map(scnr_local, mesh,
-                         in_specs=(s_state, s_sfx, s_corr, P(), s_md),
+    scnr_sh = _shard_map(scnr_local, mesh, in_specs=scnr_in,
                          out_specs=(s_state, s_monthly, s_meanf))
     return jax.jit(flux_sh), jax.jit(scnr_sh)
 

@@ -103,10 +103,17 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         dd = max(1, _fortran_nint(float(dtc / (F32(1.0) * dxlat[k] * dxlat[k] / kappa))))
         dtdff2 = int(dt_crcl) // dd                # Fortran integer division
         if dtdff2 < 1:
-            # The reference would divide by zero here (only reachable on
-            # grids far finer than it supports); clamp to the finest stable
-            # sub-step of 1 s.
-            dtdff2 = 1
+            # dd > dt_crcl: the reference would divide by zero here — this
+            # is only reachable on grids far finer than it supports (at
+            # 768x384 the pole row needs dd ~ 3e4).  Extend with a
+            # FRACTIONAL sub-step dt_crcl/dd, which keeps the row CFL
+            # number kappa*dtdff2/dxlat^2 ~= 1 (stable for the /20
+            # smoothed 7-point form) instead of the divergent 1-s clamp.
+            sub = dtc / F32(dd)
+            t2d[k] = dd
+            s2d[k] = F32(sub)
+            c2d[k] = kappa * F32(sub) / (dxlat[k] * dxlat[k])
+            continue
         time2 = max(1, _fortran_nint(float(dtc) / float(dtdff2)))
         t2d[k] = time2
         s2d[k] = F32(dtdff2)
@@ -125,7 +132,13 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         dd = max(1, _fortran_nint(float(dtc / (dxlat[k] / F32(10.0) / F32(1.0)))))
         dtdff2 = int(dt_crcl) // dd
         if dtdff2 < 1:
-            dtdff2 = 1
+            # same fractional-sub-step extension as diffusion (unreachable
+            # at the reference's grids; keeps the advective CFL ~= 1)
+            sub = dtc / F32(dd)
+            t2a[k] = dd
+            s2a[k] = F32(sub)
+            c2a[k] = F32(sub) / dxlat[k] / F32(2.0)
+            continue
         time2 = max(1, _fortran_nint(float(dtc) / float(dtdff2)))
         t2a[k] = time2
         s2a[k] = F32(dtdff2)

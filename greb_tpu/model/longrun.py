@@ -1,0 +1,112 @@
+"""Chunked long-run driver (BASELINE config 5: 1000-yr integrations).
+
+The reference cannot restart: state lives in Fortran module arrays and the
+binary output keeps monthly means only (src/greb.f90:978-982), so a crash
+loses the whole run.  Here a long scenario integrates in chunks of years;
+after each chunk the prognostic state + the 730-slot correction tables +
+a scalar cursor go to the ``Checkpointer`` (orbax when available, npz
+otherwise), and a fresh process resumes BIT-EXACTLY from the last
+checkpoint (the year runner is deterministic and the checkpoint captures
+its full carry — tests/test_config5.py proves equality against an
+uninterrupted run).
+
+The chunk body is pluggable so the same loop drives the single-chip
+driver (``GREB.run_scenario``), the fused multi-year Pallas path
+(``years_per_call``), and the shard_map runners over a device mesh —
+checkpointing gathers addressable shards via np.asarray, resume re-shards
+through ``parallel.sharded.shard_inputs``.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..forcing import Corrections, ModelState
+from ..io.checkpoint import Checkpointer, RunCursor
+
+F32 = np.float32
+
+# run_years(state, corr, co2_chunk: np.ndarray) -> (state, monthly | None)
+YearRunner = Callable[[ModelState, Corrections, np.ndarray],
+                      Tuple[ModelState, Optional[np.ndarray]]]
+
+
+def run_long(total_years: int, state: ModelState, corr: Corrections,
+             co2_series: np.ndarray, run_years: YearRunner,
+             checkpointer: Optional[Checkpointer] = None,
+             chunk_years: int = 50, resume: bool = True,
+             on_chunk: Optional[Callable[[int, Optional[np.ndarray]], None]]
+             = None) -> Tuple[ModelState, Corrections, int]:
+    """Integrate ``total_years`` in chunks with periodic checkpoints.
+
+    Returns ``(state, corr, start_year)`` where ``start_year`` is the year
+    the loop actually started from (0, or the resumed cursor).
+    """
+    co2_series = np.asarray(co2_series, F32)
+    assert len(co2_series) >= total_years, (len(co2_series), total_years)
+    start = 0
+    if resume and checkpointer is not None:
+        last = checkpointer.latest_step()
+        if last is not None:
+            state, corr, cursor = checkpointer.restore(last)
+            start = int(cursor.year_index)
+    done = start
+    while done < total_years:
+        n = min(chunk_years, total_years - done)
+        state, monthly = run_years(state, corr, co2_series[done:done + n])
+        done += n
+        if on_chunk is not None:
+            on_chunk(done, monthly)
+        if checkpointer is not None:
+            checkpointer.save(done, state, corr,
+                              RunCursor(phase="scenario", year_index=done,
+                                        co2=float(co2_series[done - 1])))
+    return state, corr, start
+
+
+def driver_year_runner(model, output_path: Optional[str] = None,
+                       years_per_call: int = 1,
+                       collect_monthly: bool = False) -> YearRunner:
+    """A ``run_years`` chunk body over ``GREB.run_scenario`` (single-chip /
+    Pallas multi-year path).  Output records append across chunks."""
+    writer = None
+    if output_path:
+        from ..io.binio import OutputWriter
+        writer = OutputWriter(output_path, model.num.xdim, model.num.ydim)
+
+    def run_years(state, corr, co2_chunk):
+        state, monthly, _ = model.run_scenario(
+            corr, state=state, years=len(co2_chunk), co2_series=co2_chunk,
+            collect_monthly=collect_monthly or writer is not None,
+            years_per_call=years_per_call)
+        if writer is not None:
+            for m in monthly:
+                writer.write_months(m)
+        return state, monthly
+
+    return run_years
+
+
+def sharded_year_runner(mesh, scnr_sh, sfx_s, md_s, fcconst=None,
+                        shard_state: Optional[Callable] = None) -> YearRunner:
+    """A chunk body over a sharded scenario-year runner
+    (parallel.sharded.make_sharded_year_runners): one jitted call per year,
+    state carried on-device.  ``shard_state`` (state -> sharded state) is
+    applied once per chunk so a host-resident resume state lands back on the
+    mesh with the right NamedShardings."""
+    import jax.numpy as jnp
+
+    def run_years(state, corr, co2_chunk):
+        if shard_state is not None:
+            state = shard_state(state)
+        monthly = None
+        for co2 in np.asarray(co2_chunk, F32):
+            args = (state, sfx_s, corr, jnp.float32(co2), md_s)
+            if fcconst is not None:
+                args += (fcconst,)
+            state, monthly, _ = scnr_sh(*args)
+        return state, (np.asarray(monthly)[None]
+                       if monthly is not None else None)
+
+    return run_years

@@ -487,6 +487,11 @@ class ShardPlan:
     lab: int                 # ... and local bottom
     la_levels: int           # extra advection iterations (global max - 1)
     comp_mode: str           # "dense" | "lowrank" | "none"
+    # issue the ppermute halo exchange BEFORE the interior zonal work, so
+    # the async collective-permute (start/done pair on TPU) overlaps with
+    # the shard-local applies; the math is identical either way (the halo
+    # feeds only the meridional pass), so this is purely a scheduling hint
+    overlap_halo: bool = True
 
     @property
     def rloc(self) -> int:
@@ -513,9 +518,16 @@ class Fast2ShardConst:
 def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
                   st: stc.StencilStatic, kappa: float, n_shards: int,
                   include_advection: bool = True,
+                  overlap_halo: bool = True,
+                  comp_dense_max_bytes: int = 512 * 2 ** 20,
                   ) -> Tuple[ShardPlan, Fast2ShardConst]:
     """Build the sharded plan + global constant arrays for an n_shards
-    latitude decomposition (ydim % n_shards == 0)."""
+    latitude decomposition (ydim % n_shards == 0).
+
+    ``comp_dense_max_bytes`` bounds the PER-SHARD dense composite block
+    (F*K*X*X floats); past it the composites are SVD-truncated.  Dense is
+    strongly preferred: it skips the SVD pass of the build (the dominant
+    cost at 768x384 — 312 dgesdd calls) and is exact."""
     Y, X = grid.ydim, grid.xdim
     assert Y % n_shards == 0, "ydim must divide evenly across shards"
     R = Y // n_shards
@@ -539,14 +551,19 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
 
     kct = max(loc_top(i) for i in range(n_shards))
     kcb = max(loc_bot(i) for i in range(n_shards))
+    if kct + kcb >= R:
+        # deep polar bands (768x384: 78 composite rows vs 48 rows/shard):
+        # the top/bottom slabs would overlap — use ONE full-width slab with
+        # a slot per local row (slot index == local row, identity-padded)
+        kct, kcb = R, 0
     K = kct + kcb
 
     F = 2
-    # dense when the PER-SHARD block fits comfortably (it lives in HBM under
-    # XLA, so the bound is generous); else SVD-truncated
+    # dense when the PER-SHARD block fits the byte budget (it lives in HBM
+    # under XLA); else SVD-truncated
     if kt_g + kb_g == 0:
         mode = "none"
-    elif 2 * F * K * X * X * 4 <= 64 * 2 ** 20:
+    elif F * K * X * X * 4 <= comp_dense_max_bytes:
         mode = "dense"
     else:
         mode = "lowrank"
@@ -603,13 +620,16 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
     lat = max(int(np.clip(la_g_t - i * R, 0, R)) for i in range(n_shards))
     lab = max(int(np.clip(la_g_b - (n_shards - 1 - i) * R, 0, R))
               for i in range(n_shards))
+    if lat + lab >= R:
+        lat, lab = R, 0          # same full-slab collapse as the composites
     la_levels = max(int(a2.max(initial=1)) - 1, 0)
     amask = np.zeros((max(la_levels, 1), Y, 1), F32)
     for l in range(la_levels):
         amask[l, :, 0] = (a2 > l + 1).astype(F32)
 
     splan = ShardPlan(ydim=Y, xdim=X, n_shards=n_shards, kct=kct, kcb=kcb,
-                      lat=lat, lab=lab, la_levels=la_levels, comp_mode=mode)
+                      lat=lat, lab=lab, la_levels=la_levels, comp_mode=mode,
+                      overlap_halo=overlap_halo)
     sconst = Fast2ShardConst(
         zd=const.zd, zam=const.zam, mer=const.mer, wz=const.wz,
         band=const.band, amask=jnp.asarray(amask),
@@ -620,67 +640,75 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
 
 def _sharded_extra_diffusion(x, dd, const: Fast2ShardConst, splan: ShardPlan):
     """Composite rows at the local top/bottom (identity-flagged padding on
-    shards that own fewer composite rows)."""
+    shards that own fewer composite rows).
+
+    All rows of a slab apply in ONE batched einsum over (F, rows) — this is
+    the XLA sharded path (never inside a Pallas kernel), so batched dots are
+    fine and keep the graph size independent of the composite row count
+    (96 rows/shard at 768x384)."""
     if splan.comp_mode == "none" or (splan.kct + splan.kcb) == 0:
         return dd
     R = x.shape[-2]
     kct, kcb = splan.kct, splan.kcb
     lowrank = splan.comp_mode == "lowrank"
-    F = const.wz.shape[-3]
 
-    def comp_rows(r0, n, k0):
-        parts = []
-        for j in range(n):
-            r = r0 + j
-            k = k0 + j
-            fparts = []
-            for f in range(F):
-                t1 = x[..., f, r:r + 1, :] + dd[..., f, r:r + 1, :]
-                lead = t1.shape[:-1]
-                flat = t1.reshape((-1, t1.shape[-1])) if t1.ndim != 2 else t1
-                if lowrank:
-                    z = jnp.dot(flat, const.pcu[f, k],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                    t2 = jnp.dot(z, const.pcw[f, k],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                else:
-                    t2 = jnp.dot(flat, const.pcomp[f, k],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                t2 = t2.reshape(lead + (t2.shape[-1],))
-                # identity-flagged slots pass t1 through exactly
-                t2 = t2 + const.pid[k] * t1
-                t1 = t1 + v1._clamped(t2 - t1, t1)
-                fparts.append(t1 - x[..., f, r:r + 1, :])
-            parts.append(jnp.stack(fparts, axis=-3))
-        return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+    def comp_block(r0, n, k0):
+        xs = x[..., r0:r0 + n, :]
+        t1 = xs + dd[..., r0:r0 + n, :]              # (..., F, n, X)
+        if lowrank:
+            z = jnp.einsum('...fkx,fkxr->...fkr', t1,
+                           const.pcu[:, k0:k0 + n],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            t2 = jnp.einsum('...fkr,fkrz->...fkz', z,
+                            const.pcw[:, k0:k0 + n],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        else:
+            t2 = jnp.einsum('...fkx,fkxz->...fkz', t1,
+                            const.pcomp[:, k0:k0 + n],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        # identity-flagged slots pass t1 through exactly
+        t2 = t2 + const.pid[k0:k0 + n] * t1
+        t1 = t1 + v1._clamped(t2 - t1, t1)
+        return t1 - xs
 
     slabs = []
     if kct:
-        slabs.append(comp_rows(0, kct, 0))
+        slabs.append(comp_block(0, kct, 0))
     slabs.append(dd[..., kct:R - kcb, :])
     if kcb:
-        slabs.append(comp_rows(R - kcb, kcb, kct))
+        slabs.append(comp_block(R - kcb, kcb, kct))
     return jnp.concatenate(slabs, axis=-2) if len(slabs) > 1 else slabs[0]
 
 
 def _sharded_extra_advection(x, da, cf: Fast2Coeffs, amask, splan: ShardPlan):
     """Per-level masked iteration on the local top/bottom slabs: a masked
     row's increment is exactly zero, so non-iterating rows (and whole
-    interior shards) pass through bit-exactly."""
+    interior shards) pass through bit-exactly.  The level loop is a
+    ``fori_loop`` so the graph stays small at deep schedules (85 levels at
+    768x384)."""
     if splan.la_levels == 0 or (splan.lat + splan.lab) == 0:
         return da
     R = x.shape[-2]
 
     def slab_iter(r0, r1):
-        t1 = x[..., r0:r1, :] + da[..., r0:r1, :]
+        t0 = x[..., r0:r1, :] + da[..., r0:r1, :]
         cseg = cf.za[:, :, r0:r1, :]
-        for l in range(splan.la_levels):
-            m = amask[l, r0:r1, :]
+
+        def level(l, t1):
+            m = jax.lax.dynamic_index_in_dim(
+                amask, l, keepdims=False)[r0:r1, :]
             d = v1._apply7(t1, cseg) * m
-            t1 = t1 + v1._clamped(d, t1)
+            return t1 + v1._clamped(d, t1)
+
+        if splan.la_levels <= 4:
+            t1 = t0
+            for l in range(splan.la_levels):
+                t1 = level(l, t1)
+        else:
+            t1 = jax.lax.fori_loop(0, splan.la_levels, level, t0)
         return t1 - x[..., r0:r1, :]
 
     parts = []
@@ -695,8 +723,14 @@ def _sharded_extra_advection(x, da, cf: Fast2Coeffs, amask, splan: ShardPlan):
 def sharded_substep(x, cf: Fast2Coeffs, const: Fast2ShardConst,
                     splan: ShardPlan, extend: Callable) -> jax.Array:
     """One substep on a LOCAL latitude slab (inside shard_map); ``extend``
-    supplies the width-2 meridional halo (parallel.halo)."""
+    supplies the width-2 meridional halo (parallel.halo).
+
+    With ``splan.overlap_halo`` the exchange is issued FIRST: the zonal
+    applies (rolls, clamps, composites, advection sub-cycles) depend only
+    on local rows, so the collective-permute rides the ICI while the VPU
+    works through them (halo/compute overlap, SURVEY §2.4)."""
     R = x.shape[-2]
+    xe = extend(x, 2) if splan.overlap_halo else None
     rolls = [jnp.roll(x, s, axis=-1) for _, s in _LON_IDX_SHIFT]
     dd = _apply7_rolled(rolls, x, const.zd)
     dd = _masked_clamp(dd, x, const.band)
@@ -704,7 +738,8 @@ def sharded_substep(x, cf: Fast2Coeffs, const: Fast2ShardConst,
     da = _apply7_rolled(rolls, x, cf.za)
     da = _masked_clamp(da, x, const.band)
     da = _sharded_extra_advection(x, da, cf, const.amask, splan)
-    xe = extend(x, 2)
+    if xe is None:
+        xe = extend(x, 2)
     dy = cf.c0m * x
     dy = dy + cf.mc[0] * xe[..., 0:R, :]
     dy = dy + cf.mc[1] * xe[..., 1:R + 1, :]

@@ -66,7 +66,9 @@ def make_global_array(mesh: Mesh, spec: P, shape: Tuple[int, ...],
     sharding = NamedSharding(mesh, spec)
 
     def cb(index):
-        return np.ascontiguousarray(fill_local(index))
+        a = np.asarray(fill_local(index))
+        # NB: np.ascontiguousarray promotes 0-d to (1,) — keep scalars 0-d
+        return np.ascontiguousarray(a) if a.ndim else a
 
     return jax.make_array_from_callback(shape, sharding, cb)
 

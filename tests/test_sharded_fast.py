@@ -35,7 +35,7 @@ def _model(num):
                 forcing=forcing, verbose=False)
 
 
-def _run_pair(num, n_y):
+def _run_pair(num, n_y, **build_kw):
     m = _model(num)
     plan, fcdata = m._fastcirc_split()
     state0 = m.initial_state()
@@ -46,7 +46,7 @@ def _run_pair(num, n_y):
     mesh = make_mesh(n_ens=1, n_y=n_y)
     splan, sconst = fc2.build_sharded(
         np.asarray(m.derived.wz_air), np.asarray(m.derived.wz_vapor),
-        m.grid, m.st, kappa=float(m.params.kappa), n_shards=n_y)
+        m.grid, m.st, kappa=float(m.params.kappa), n_shards=n_y, **build_kw)
     sconst_sh = shard_fastcirc(mesh, sconst)
     flux_sh, scnr_sh = make_sharded_year_runners(mesh, m.st, num, m.exp,
                                                  m.month_mat,
@@ -74,6 +74,32 @@ def test_sharded_fast_96x48():
                                rtol=0, atol=2e-2)
     np.testing.assert_allclose(np.asarray(s_sh2.ts), np.asarray(s_ref2.ts),
                                rtol=0, atol=2e-2)
+
+
+def test_sharded_fast_lowrank_96x48():
+    """Force the SVD-truncated composite path (dense fits any realistic
+    budget at 96x48, so it needs an explicit 0 budget to engage)."""
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=1)
+    splan, ref, sh = _run_pair(num, n_y=4, comp_dense_max_bytes=0)
+    assert splan.comp_mode == "lowrank"
+    (s_ref, corr_ref, s_ref2, mon_ref) = ref
+    (s_sh, corr_sh, s_sh2, mon_sh) = sh
+    np.testing.assert_array_equal(np.asarray(s_sh.ts), np.asarray(s_ref.ts))
+    np.testing.assert_allclose(np.asarray(mon_sh), np.asarray(mon_ref),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s_sh2.ts), np.asarray(s_ref2.ts),
+                               rtol=0, atol=2e-2)
+
+
+def test_sharded_fast_no_overlap_bitexact():
+    """overlap_halo reorders only the ppermute issue point; the math is
+    identical, so both variants must agree bit-for-bit."""
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=1)
+    _, ref_a, sh_a = _run_pair(num, n_y=4, overlap_halo=True)
+    _, ref_b, sh_b = _run_pair(num, n_y=4, overlap_halo=False)
+    np.testing.assert_array_equal(np.asarray(sh_a[3]), np.asarray(sh_b[3]))
+    np.testing.assert_array_equal(np.asarray(sh_a[2].ts),
+                                  np.asarray(sh_b[2].ts))
 
 
 def test_sharded_fast_refined_128x64():

@@ -56,18 +56,37 @@ def memory_report(num: Numerics, n_members: int = 1,
 
     Everything time-indexed shards along latitude ('y'); members multiply
     only the per-member state/outputs (forcing and coefficients are shared
-    across members on a chip, parallel/ensemble.py).
+    across members on a chip, parallel/ensemble.py).  When ``n_shards > 1``
+    the sharded fast path's dense composite block and advection level masks
+    (fastcirc2.Fast2ShardConst.pcomp/amask) are included, with the slab
+    geometry derived from the SAME collapse logic as
+    ``fastcirc2.build_sharded`` (via ``fastcirc2.sharded_geometry``).
     """
+    from ..grid import make_grid
+    from ..ops import fastcirc2 as fc2
+
     t, y, x = num.nstep_yr, num.ydim, num.xdim
     cell = y * x * _B
     forcing = 7 * t * cell + t * y * _B + 2 * cell
     corrections = 3 * t * cell
     state = n_members * 5 * cell
-    # fastcirc2.Fast2Const coefficient fields: (7+8+9+1)x(2,y,x)
-    fastcirc = (7 + 8 + 9 + 1) * 2 * cell
+    # fastcirc2.Fast2Const coefficient planes, derived from the fold itself
+    fastcirc = fc2.N_COEF_PLANES * 2 * cell
     monthly = n_members * 12 * 5 * cell
-    total = forcing + corrections + state + fastcirc + monthly
-    # latitude sharding splits every y-axis array evenly; scalars ignored
+    composites = 0
+    amask = 0
+    if n_shards > 1 and y % n_shards == 0:
+        geo = fc2.sharded_geometry(make_grid(x, y, num.dt_crcl), n_shards)
+        if geo.comp_mode == "dense":
+            composites = 2 * n_shards * max(geo.K, 1) * x * x * _B
+        elif geo.comp_mode == "lowrank":
+            # rank is data-dependent (SVD truncation); budget the worst case
+            composites = 2 * n_shards * max(geo.K, 1) * 2 * x * x * _B
+        amask = max(geo.la_levels, 1) * y * _B
+    total = forcing + corrections + state + fastcirc + monthly \
+        + composites + amask
+    # latitude sharding splits every y-axis array evenly (the composite
+    # block shards along its per-shard-slot axis); scalars ignored
     per_shard = total // max(n_shards, 1)
     detail = {
         "one (t,y,x) field": t * cell,
@@ -77,6 +96,9 @@ def memory_report(num: Numerics, n_members: int = 1,
         "fastcirc coefficient fields": fastcirc,
         "monthly-mean outputs": monthly,
     }
+    if composites:
+        detail["sharded dense composites (pcomp)"] = composites
+        detail["advection level masks (amask)"] = amask
     return MemoryReport(forcing=forcing, wind_splits=0,
                         corrections=corrections, state=state,
                         fastcirc=fastcirc, monthly_out=monthly, total=total,

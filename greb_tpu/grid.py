@@ -16,6 +16,18 @@ therefore computed HERE, at trace time, with Fortran integer semantics
 reference src/greb.f90:651-654 and :838-840).  That removes all
 data-dependent control flow from the compiled step — the polar loops
 become statically-unrolled (or fori_loop) masked updates.
+
+Grids finer than the reference's envelope — where some row's integer
+sub-step ``dt_crcl/dd`` truncates to zero (the reference would divide by
+zero, src/greb.f90:652-653) — switch to EXTENSION MODE: fractional
+sub-steps with the per-iteration zonal CFL capped at 0.5 and the
+advective CFL at 1 (10 m/s design wind), chosen so the joint Fourier
+symbol of the split substep (zonal + advective + meridional increments
+added from the same state) has modulus <= 1.  Because the meridional
+pass is never sub-cycled (reference structure, src/greb.f90:585-590),
+extension grids additionally require ``kappa*dt_crcl/dyy^2 <= 0.28`` —
+enforced with a clear error telling the user to lower dt_crcl (e.g.
+900 s at 768x384), which is a reference namelist parameter.
 """
 from __future__ import annotations
 
@@ -63,6 +75,9 @@ class Grid:
     polar_rows: np.ndarray  # (ydim,) bool — dxlat <= 2.5e5 (sub-cycled branch)
     diff_sched: PolarSchedule
     adv_sched: PolarSchedule
+    extension_mode: bool = False  # capped schedules beyond the reference's
+    #                               envelope (some row's integer sub-step
+    #                               truncates to zero, src/greb.f90:652-653)
 
 
 def make_grid(xdim: int, ydim: int, dt_crcl: int,
@@ -93,27 +108,92 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
     polar = dxlat <= F32(2.5e5)
 
     # --- diffusion sub-cycle schedule (src/greb.f90:651-654) --------------
+    # Reference rule first; if ANY row's integer sub-step truncates to zero
+    # (dd > dt_crcl — where the reference itself would divide by zero),
+    # the grid is beyond the reference's envelope and BOTH schedules are
+    # rebuilt with the capped EXTENSION rule below.
+    def ref_diff(k):
+        # dd = max(1, nint(dt_crcl/(1.*dxlat**2/kappa)))
+        return max(1, _fortran_nint(
+            float(dtc / (F32(1.0) * dxlat[k] * dxlat[k] / kappa))))
+
+    def ref_adv(k):
+        # dd = max(1, nint(dt_crcl/(dxlat/10.0/1.)))
+        return max(1, _fortran_nint(
+            float(dtc / (dxlat[k] / F32(10.0) / F32(1.0)))))
+
+    extension = any(
+        polar[k] and (int(dt_crcl) // ref_diff(k) < 1
+                      or int(dt_crcl) // ref_adv(k) < 1)
+        for k in range(ydim))
+
+    if extension:
+        # EXTENSION MODE — new numerical ground, designed for stability
+        # rather than reproduction (the reference cannot run such grids).
+        # The substep adds three increments computed from the same state
+        # (zonal, advective, meridional), so their amplification budgets
+        # ADD at the joint worst Fourier mode:
+        #   |1 + cz*gz(pi) + Ca*ga(pi) + 4*ccy| <= 1  requires
+        #   0.8*cz + 0.35*Ca + 4*ccy <= 2   (gz(pi) = -16/20, ga(pi) = -14/40)
+        # Capping the zonal diffusion CFL at 0.5/row-iteration, the advective
+        # CFL at 1 per iteration at the 10 m/s design wind (reference
+        # assumption, src/greb.f90:838; real winds ~13 m/s -> 1.3), and
+        # requiring ccy <= 0.28 keeps the joint symbol's modulus <= 1
+        # (verified numerically over (theta_x, theta_y) — max = 1.0 at the
+        # conserved mode, ~0.92 elsewhere).  The meridional pass has NO
+        # sub-cycling anywhere (reference structure), so ccy is controlled
+        # through dt_crcl — a reference namelist parameter.
+        CZ_CAP = 0.5
+        if float(ccy_diff) > 0.28:
+            raise ValueError(
+                f"grid {xdim}x{ydim}: meridional diffusion CFL "
+                f"ccy={float(ccy_diff):.3f} > 0.28 is unstable on this "
+                f"refined grid (the meridional pass is never sub-cycled, "
+                f"src/greb.f90:585-590).  Reduce dt_crcl in the numerics "
+                f"namelist (dt_crcl <= "
+                f"{int(0.28 * dyy * dyy / float(kappa))} s here; e.g. 900).")
+
+        t2d = np.zeros(ydim, np.int32)
+        s2d = np.zeros(ydim, F32)
+        c2d = np.zeros(ydim, F32)
+        t2a = np.zeros(ydim, np.int32)
+        s2a = np.zeros(ydim, F32)
+        c2a = np.zeros(ydim, F32)
+        for k in range(ydim):
+            if not polar[k]:
+                continue
+            xnum = float(dtc) * float(kappa) / float(dxlat[k]) ** 2
+            dd = max(1, int(np.ceil(xnum / CZ_CAP)))
+            sub = dtc / F32(dd)
+            t2d[k] = dd
+            s2d[k] = F32(sub)
+            c2d[k] = kappa * F32(sub) / (dxlat[k] * dxlat[k])
+            dda = max(1, int(np.ceil(float(dtc) * 10.0 / float(dxlat[k]))))
+            suba = dtc / F32(dda)
+            t2a[k] = dda
+            s2a[k] = F32(suba)
+            c2a[k] = F32(suba) / dxlat[k] / F32(2.0)
+        diff_sched = PolarSchedule(time2=t2d, dtdff2=s2d, ccx2=c2d,
+                                   max_iter=int(t2d.max(initial=0)))
+        adv_sched = PolarSchedule(time2=t2a, dtdff2=s2a, ccx2=c2a,
+                                  max_iter=int(t2a.max(initial=0)))
+        return Grid(
+            xdim=xdim, ydim=ydim, dlon=float(dlon), dlat=float(dlat),
+            dt_crcl=dt_crcl, lat=lat, dxlat=dxlat, dyy=float(dyy),
+            ccy_diff=float(ccy_diff), ccx_diff=ccx_diff,
+            ccy_adv=float(ccy_adv), ccx_adv=ccx_adv,
+            polar_rows=polar, diff_sched=diff_sched, adv_sched=adv_sched,
+            extension_mode=True,
+        )
+
     t2d = np.zeros(ydim, np.int32)
     s2d = np.zeros(ydim, F32)
     c2d = np.zeros(ydim, F32)
     for k in range(ydim):
         if not polar[k]:
             continue
-        # dd = max(1, nint(dt_crcl/(1.*dxlat**2/kappa)))
-        dd = max(1, _fortran_nint(float(dtc / (F32(1.0) * dxlat[k] * dxlat[k] / kappa))))
+        dd = ref_diff(k)
         dtdff2 = int(dt_crcl) // dd                # Fortran integer division
-        if dtdff2 < 1:
-            # dd > dt_crcl: the reference would divide by zero here — this
-            # is only reachable on grids far finer than it supports (at
-            # 768x384 the pole row needs dd ~ 3e4).  Extend with a
-            # FRACTIONAL sub-step dt_crcl/dd, which keeps the row CFL
-            # number kappa*dtdff2/dxlat^2 ~= 1 (stable for the /20
-            # smoothed 7-point form) instead of the divergent 1-s clamp.
-            sub = dtc / F32(dd)
-            t2d[k] = dd
-            s2d[k] = F32(sub)
-            c2d[k] = kappa * F32(sub) / (dxlat[k] * dxlat[k])
-            continue
         time2 = max(1, _fortran_nint(float(dtc) / float(dtdff2)))
         t2d[k] = time2
         s2d[k] = F32(dtdff2)
@@ -128,17 +208,8 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
     for k in range(ydim):
         if not polar[k]:
             continue
-        # dd = max(1, nint(dt_crcl/(dxlat/10.0/1.)))
-        dd = max(1, _fortran_nint(float(dtc / (dxlat[k] / F32(10.0) / F32(1.0)))))
+        dd = ref_adv(k)
         dtdff2 = int(dt_crcl) // dd
-        if dtdff2 < 1:
-            # same fractional-sub-step extension as diffusion (unreachable
-            # at the reference's grids; keeps the advective CFL ~= 1)
-            sub = dtc / F32(dd)
-            t2a[k] = dd
-            s2a[k] = F32(sub)
-            c2a[k] = F32(sub) / dxlat[k] / F32(2.0)
-            continue
         time2 = max(1, _fortran_nint(float(dtc) / float(dtdff2)))
         t2a[k] = time2
         s2a[k] = F32(dtdff2)

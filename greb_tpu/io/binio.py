@@ -90,13 +90,32 @@ class OutputWriter:
     NVAR = 5
     VARS = ("tsurf", "tair", "tocean", "vapour", "albedo")
 
-    def __init__(self, path: str, xdim: int, ydim: int, append: bool = False):
+    def __init__(self, path: str, xdim: int, ydim: int, append: bool = False,
+                 start_record: Optional[int] = None, truncate: bool = True):
+        """``start_record`` (0-based record count) positions the stream.
+        With ``truncate=True`` (crash-resume): records BEFORE it are kept,
+        anything at or past it (months the resumed run will rewrite) is
+        truncated away.  With ``truncate=False`` (Fortran direct-access
+        semantics): the stream OVERWRITES from that record and leaves any
+        tail records intact — the reference's control file keeps the
+        TF_correct dump's tail after the control run rewinds to record 1
+        (src/greb.original.model.f90:204-215).
+        ``append=True`` keeps the whole file and continues at its end."""
         self.path = path
         self.xdim, self.ydim = xdim, ydim
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "ab" if append else "wb")
-        self.irec = (os.path.getsize(path) // (4 * xdim * ydim)
-                     if append and os.path.exists(path) else 0)
+        recl = 4 * xdim * ydim
+        if start_record is not None:
+            exists = os.path.exists(path)
+            self._f = open(path, "r+b" if exists else "w+b")
+            if truncate:
+                self._f.truncate(start_record * recl)
+            self._f.seek(start_record * recl)
+            self.irec = start_record
+        else:
+            self._f = open(path, "ab" if append else "wb")
+            self.irec = (os.path.getsize(path) // recl
+                         if append and os.path.exists(path) else 0)
 
     def write_months(self, monthly: np.ndarray) -> None:
         """monthly: (nmonths, 5, ydim, xdim) float32."""

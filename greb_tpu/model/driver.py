@@ -262,7 +262,9 @@ class GREB:
                      output_path: Optional[str] = None,
                      cap_surf: Optional[jax.Array] = None,
                      collect_monthly: bool = True,
-                     years_per_call: int = 1):
+                     years_per_call: int = 1,
+                     output_start_record: Optional[int] = None,
+                     output_truncate: bool = True):
         """Scenario phase (reference src/greb.f90:223-234).
 
         ``years_per_call > 1`` (Pallas path only) fuses blocks of years into
@@ -290,7 +292,9 @@ class GREB:
         writer = None
         if output_path:
             from ..io.binio import OutputWriter
-            writer = OutputWriter(output_path, num.xdim, num.ydim)
+            writer = OutputWriter(output_path, num.xdim, num.ydim,
+                                  start_record=output_start_record,
+                                  truncate=output_truncate)
 
         if (years_per_call > 1 and self.cfg.use_pallas
                 and self._pallas_viable()):
@@ -424,8 +428,16 @@ class GREB:
                     output_path: Optional[str] = None):
         """Legacy control-run phase at CO2_ctrl, starting from the spin-up
         end state (greb.original.model.f90:208-215; Ts_ini was mutated in
-        place by qflux_correction at :201)."""
+        place by qflux_correction at :201).
+
+        The reference REWINDS the control unit to record 1 (irec=0 at :211)
+        after the 730-record TF_correct dump (:204-206) WITHOUT truncating:
+        the control run's 60*time_ctrl monthly records overwrite the head of
+        the dump and TF records 60*time_ctrl+1..730 survive in the tail —
+        reproduced here via direct-access overwrite semantics."""
         num = self.num
         co2 = np.full(max(num.time_ctrl, 1), self.exp.co2_ctrl, F32)
         return self.run_scenario(corr, years=num.time_ctrl, co2_series=co2,
-                                 output_path=output_path, state=state_fc)
+                                 output_path=output_path, state=state_fc,
+                                 output_start_record=0,
+                                 output_truncate=False)

@@ -51,6 +51,12 @@ def run_long(total_years: int, state: ModelState, corr: Corrections,
         if last is not None:
             state, corr, cursor = checkpointer.restore(last)
             start = int(cursor.year_index)
+    # resume-aware runners (e.g. driver_year_runner with an output file)
+    # position their side effects from the actual start year — a resumed
+    # process must neither lose nor duplicate the months written pre-crash
+    on_resume = getattr(run_years, "on_resume", None)
+    if on_resume is not None:
+        on_resume(start)
     done = start
     while done < total_years:
         n = min(chunk_years, total_years - done)
@@ -59,9 +65,13 @@ def run_long(total_years: int, state: ModelState, corr: Corrections,
         if on_chunk is not None:
             on_chunk(done, monthly)
         if checkpointer is not None:
-            checkpointer.save(done, state, corr,
-                              RunCursor(phase="scenario", year_index=done,
-                                        co2=float(co2_series[done - 1])))
+            # honor the configured every_years cadence (chunk boundaries
+            # that don't land on it are skipped), but always persist the
+            # final chunk so the run ends restartable
+            cursor = RunCursor(phase="scenario", year_index=done,
+                               co2=float(co2_series[done - 1]))
+            if done == total_years or done % checkpointer.every == 0:
+                checkpointer.save(done, state, corr, cursor)
     return state, corr, start
 
 
@@ -69,22 +79,38 @@ def driver_year_runner(model, output_path: Optional[str] = None,
                        years_per_call: int = 1,
                        collect_monthly: bool = False) -> YearRunner:
     """A ``run_years`` chunk body over ``GREB.run_scenario`` (single-chip /
-    Pallas multi-year path).  Output records append across chunks."""
-    writer = None
-    if output_path:
-        from ..io.binio import OutputWriter
-        writer = OutputWriter(output_path, model.num.xdim, model.num.ydim)
+    Pallas multi-year path).  Output records append across chunks AND
+    across crash-resumes: the writer opens lazily, positioned at the
+    record implied by the (possibly resumed) start year, so months written
+    before a crash are kept and nothing is duplicated."""
+    box = {"writer": None, "year": 0}
+    months_per_year = len(model.num.jday_mon)
+
+    def _writer():
+        if output_path and box["writer"] is None:
+            from ..io.binio import OutputWriter
+            box["writer"] = OutputWriter(
+                output_path, model.num.xdim, model.num.ydim,
+                start_record=box["year"] * months_per_year
+                * OutputWriter.NVAR)
+        return box["writer"]
 
     def run_years(state, corr, co2_chunk):
         state, monthly, _ = model.run_scenario(
             corr, state=state, years=len(co2_chunk), co2_series=co2_chunk,
-            collect_monthly=collect_monthly or writer is not None,
+            collect_monthly=collect_monthly or bool(output_path),
             years_per_call=years_per_call)
-        if writer is not None:
+        w = _writer()
+        if w is not None:
             for m in monthly:
-                writer.write_months(m)
+                w.write_months(m)
+        box["year"] += len(co2_chunk)
         return state, monthly
 
+    def on_resume(start_year: int) -> None:
+        box["year"] = int(start_year)
+
+    run_years.on_resume = on_resume
     return run_years
 
 
@@ -100,13 +126,15 @@ def sharded_year_runner(mesh, scnr_sh, sfx_s, md_s, fcconst=None,
     def run_years(state, corr, co2_chunk):
         if shard_state is not None:
             state = shard_state(state)
-        monthly = None
+        months: List[np.ndarray] = []
         for co2 in np.asarray(co2_chunk, F32):
             args = (state, sfx_s, corr, jnp.float32(co2), md_s)
             if fcconst is not None:
                 args += (fcconst,)
             state, monthly, _ = scnr_sh(*args)
-        return state, (np.asarray(monthly)[None]
-                       if monthly is not None else None)
+            months.append(np.asarray(monthly))
+        # (years, months, 5, Y, X): every year of the chunk, so on_chunk
+        # consumers (output writers) see the full chunk, not just its tail
+        return state, (np.stack(months) if months else None)
 
     return run_years

@@ -76,6 +76,12 @@ class Fast2Const:
     pcw: jax.Array
 
 
+# number of (Y, X) coefficient planes per transported field in Fast2Const
+# (zd + zam + mer + wz) — memory accounting derives from this, so it can't
+# silently drift if the fold changes
+N_COEF_PLANES = 7 + 8 + 9 + 1
+
+
 @struct.dataclass
 class Fast2Coeffs:
     """One step's assembled coefficients (member-independent)."""
@@ -361,12 +367,19 @@ def _extra_advection(x, da, cf: Fast2Coeffs, plan: FastPlan):
 class MxuConst:
     zd_mat: jax.Array   # (F, Y, X, X) dense zonal-diffusion row matrices
     shift1h: jax.Array  # (7, X, X) one-hot shift tensors (densify za per step)
+    # matmul precision of the zonal applies: "high" (bf16_3x, ~2^-21
+    # relative — the production default, 1.34x the aggregate throughput) or
+    # "highest" (exact f32) — selectable so the ensemble path can honour
+    # the same fidelity contract as the single-run path (VERDICT r2 #5)
+    precision: str = struct.field(pytree_node=False, default="high")
 
 
-def build_mxu(const: Fast2Const, plan: FastPlan) -> MxuConst:
+def build_mxu(const: Fast2Const, plan: FastPlan,
+              precision: str = "high") -> MxuConst:
     """Densify the constant zonal-diffusion coefficients into per-row
     matrices and precompute the one-hot shift tensors used to densify the
     per-step advection coefficients on device."""
+    assert precision in ("high", "highest"), precision
     zd = np.asarray(const.zd)                   # (7, F, Y, X)
     _, F, Y, X = zd.shape
     jout = np.arange(X)
@@ -378,7 +391,8 @@ def build_mxu(const: Fast2Const, plan: FastPlan) -> MxuConst:
     sh[3, jout, jout] = 1.0
     for i, s in _LON_IDX_SHIFT:
         sh[i, (jout - s) % X, jout] = 1.0
-    return MxuConst(zd_mat=jnp.asarray(zmat), shift1h=jnp.asarray(sh))
+    return MxuConst(zd_mat=jnp.asarray(zmat), shift1h=jnp.asarray(sh),
+                    precision=precision)
 
 
 def adv_matrix(za: jax.Array, mxu: MxuConst) -> jax.Array:
@@ -392,16 +406,19 @@ def adv_matrix(za: jax.Array, mxu: MxuConst) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _row_matmul(x: jax.Array, mat: jax.Array) -> jax.Array:
+def _row_matmul(x: jax.Array, mat: jax.Array,
+                precision: str = "high") -> jax.Array:
     """(..., F, Y, X) x (F, Y, X, X) batched over (F, Y) rows (MXU).
 
-    Precision HIGH (bf16_3x passes): ~2^-21 relative error on these
+    Precision "high" (bf16_3x passes): ~2^-21 relative error on these
     magnitudes — same order as the float32 reassociation the folds already
-    accept — at 1.34x the aggregate throughput of HIGHEST (measured on
-    v5e at M=256: 257 vs 192 member-yr/s)."""
+    accept — at 1.34x the aggregate throughput of "highest" (exact f32;
+    measured on v5e at M=256: 257 vs 192 member-yr/s)."""
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.HIGH)
     return jnp.einsum('...fyx,fyxz->...fyz', x, mat,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGH)
+                      precision=prec)
 
 
 def mxu_substep(x: jax.Array, cf: Fast2Coeffs, za_mat: jax.Array,
@@ -409,10 +426,10 @@ def mxu_substep(x: jax.Array, cf: Fast2Coeffs, za_mat: jax.Array,
                 ) -> jax.Array:
     """One dt_crcl substep with the zonal applies on the MXU."""
     Y = x.shape[-2]
-    dd = _row_matmul(x, mxu.zd_mat)
+    dd = _row_matmul(x, mxu.zd_mat, mxu.precision)
     dd = _masked_clamp(dd, x, const.band)
     dd = _extra_diffusion(x, dd, const, plan)
-    da = _row_matmul(x, za_mat)
+    da = _row_matmul(x, za_mat, mxu.precision)
     da = _masked_clamp(da, x, const.band)
     da = _extra_advection(x, da, cf, plan)
     xe = extend_lat_zero(x, 2)
@@ -515,24 +532,32 @@ class Fast2ShardConst:
     pid: jax.Array       # (n_sh*K, 1) 1.0 where the slot is an identity pad
 
 
-def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
-                  st: stc.StencilStatic, kappa: float, n_shards: int,
-                  include_advection: bool = True,
-                  overlap_halo: bool = True,
-                  comp_dense_max_bytes: int = 512 * 2 ** 20,
-                  ) -> Tuple[ShardPlan, Fast2ShardConst]:
-    """Build the sharded plan + global constant arrays for an n_shards
-    latitude decomposition (ydim % n_shards == 0).
+@dataclass(frozen=True)
+class ShardGeometry:
+    """Static composite/advection slab geometry of a latitude decomposition
+    — derived from the grid schedules alone (cheap; no matrix powers), and
+    the single source of truth shared by ``build_sharded`` and
+    ``diag.memory.memory_report``."""
+    kt_g: int            # global composite rows (top / bottom)
+    kb_g: int
+    kct: int             # per-shard local composite slab rows (top / bottom)
+    kcb: int
+    lat: int             # per-shard advection explicit slab rows
+    lab: int
+    la_levels: int
+    comp_mode: str       # "dense" | "lowrank" | "none"
 
-    ``comp_dense_max_bytes`` bounds the PER-SHARD dense composite block
-    (F*K*X*X floats); past it the composites are SVD-truncated.  Dense is
-    strongly preferred: it skips the SVD pass of the build (the dominant
-    cost at 768x384 — 312 dgesdd calls) and is exact."""
+    @property
+    def K(self) -> int:
+        return self.kct + self.kcb
+
+
+def sharded_geometry(grid: Grid, n_shards: int,
+                     comp_dense_max_bytes: int = 512 * 2 ** 20,
+                     ) -> ShardGeometry:
     Y, X = grid.ydim, grid.xdim
     assert Y % n_shards == 0, "ydim must divide evenly across shards"
     R = Y // n_shards
-    plan, const = build_const(wz_air, wz_vapor, grid, st, kappa,
-                              include_advection=include_advection)
     d2 = np.asarray(grid.diff_sched.time2)
     a2 = np.asarray(grid.adv_sched.time2)
     # diffusion composite rows: every row with time2 > 1 (top prefix /
@@ -552,7 +577,7 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
     kct = max(loc_top(i) for i in range(n_shards))
     kcb = max(loc_bot(i) for i in range(n_shards))
     if kct + kcb >= R:
-        # deep polar bands (768x384: 78 composite rows vs 48 rows/shard):
+        # deep polar bands (768x384: composite rows exceed rows/shard):
         # the top/bottom slabs would overlap — use ONE full-width slab with
         # a slot per local row (slot index == local row, identity-padded)
         kct, kcb = R, 0
@@ -567,6 +592,53 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
         mode = "dense"
     else:
         mode = "lowrank"
+
+    # advection explicit slabs
+    la_g_t = int((a2[:half] > 1).sum())
+    la_g_b = int((a2[half:] > 1).sum())
+    assert (a2[:la_g_t] > 1).all() and (a2[la_g_t:half] <= 1).all()
+    assert (a2[Y - la_g_b:] > 1).all()
+    lat = max(int(np.clip(la_g_t - i * R, 0, R)) for i in range(n_shards))
+    lab = max(int(np.clip(la_g_b - (n_shards - 1 - i) * R, 0, R))
+              for i in range(n_shards))
+    if lat + lab >= R:
+        lat, lab = R, 0          # same full-slab collapse as the composites
+    la_levels = max(int(a2.max(initial=1)) - 1, 0)
+    return ShardGeometry(kt_g=kt_g, kb_g=kb_g, kct=kct, kcb=kcb,
+                         lat=lat, lab=lab, la_levels=la_levels,
+                         comp_mode=mode)
+
+
+def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
+                  st: stc.StencilStatic, kappa: float, n_shards: int,
+                  include_advection: bool = True,
+                  overlap_halo: bool = True,
+                  comp_dense_max_bytes: int = 512 * 2 ** 20,
+                  ) -> Tuple[ShardPlan, Fast2ShardConst]:
+    """Build the sharded plan + global constant arrays for an n_shards
+    latitude decomposition (ydim % n_shards == 0).
+
+    ``comp_dense_max_bytes`` bounds the PER-SHARD dense composite block
+    (F*K*X*X floats); past it the composites are SVD-truncated.  Dense is
+    strongly preferred: it skips the SVD pass of the build (the dominant
+    cost at 768x384 — hundreds of dgesdd calls) and is exact."""
+    Y, X = grid.ydim, grid.xdim
+    R = Y // n_shards
+    geo = sharded_geometry(grid, n_shards, comp_dense_max_bytes)
+    kt_g, kb_g = geo.kt_g, geo.kb_g
+    kct, kcb, K, mode = geo.kct, geo.kcb, geo.K, geo.comp_mode
+    plan, const = build_const(wz_air, wz_vapor, grid, st, kappa,
+                              include_advection=include_advection)
+    d2 = np.asarray(grid.diff_sched.time2)
+    a2 = np.asarray(grid.adv_sched.time2)
+
+    def loc_top(i):
+        return int(np.clip(kt_g - i * R, 0, R))
+
+    def loc_bot(i):
+        return int(np.clip(kb_g - (n_shards - 1 - i) * R, 0, R))
+
+    F = 2
 
     # placeholders keep the sharded axis divisible by n_shards even when
     # no composite rows exist (comp_mode "none")
@@ -612,17 +684,8 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
                     pcu[:, slot] = pug[:, gk]
                     pcw[:, slot] = pwg[:, gk]
 
-    # advection explicit slabs + per-level masks
-    la_g_t = int((a2[:half] > 1).sum())
-    la_g_b = int((a2[half:] > 1).sum())
-    assert (a2[:la_g_t] > 1).all() and (a2[la_g_t:half] <= 1).all()
-    assert (a2[Y - la_g_b:] > 1).all()
-    lat = max(int(np.clip(la_g_t - i * R, 0, R)) for i in range(n_shards))
-    lab = max(int(np.clip(la_g_b - (n_shards - 1 - i) * R, 0, R))
-              for i in range(n_shards))
-    if lat + lab >= R:
-        lat, lab = R, 0          # same full-slab collapse as the composites
-    la_levels = max(int(a2.max(initial=1)) - 1, 0)
+    # advection per-level masks (slab geometry comes from `geo`)
+    lat, lab, la_levels = geo.lat, geo.lab, geo.la_levels
     amask = np.zeros((max(la_levels, 1), Y, 1), F32)
     for l in range(la_levels):
         amask[l, :, 0] = (a2 > l + 1).astype(F32)

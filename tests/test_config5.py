@@ -37,14 +37,20 @@ def _model(num, fast=True):
 # memory accounting
 # ---------------------------------------------------------------------------
 def test_memory_accounting_768x384():
-    num = Numerics(xdim=768, ydim=384)       # full 730-step calendar
+    # config 5 runs at dt_crcl=900 (extension grids require the meridional
+    # CFL kappa*dt_crcl/dyy^2 <= 0.28; see grid.make_grid)
+    num = Numerics(xdim=768, ydim=384, dt_crcl=900)  # full 730-step calendar
     rep = memory_report(num, n_members=1, n_shards=8)
     one_field = 730 * 384 * 768 * 4
     assert rep.detail["one (t,y,x) field"] == one_field
-    # 7 climatologies + solar + statics ~ 5.6 GiB; total ~ 8.2 GiB
+    # 7 climatologies + solar + statics ~ 5.6 GiB
     assert 5.5 * 2 ** 30 < rep.forcing < 6.0 * 2 ** 30
-    assert 8.0 * 2 ** 30 < rep.total < 8.7 * 2 ** 30
-    # sharded 8 ways each shard holds ~1.1 GiB — fits any TPU HBM
+    # dense composite block (full-slab collapse, K = 48 rows/shard):
+    # 2 fields x 8 shards x 48 x 768 x 768 x 4 B ~ 1.7 GiB (ADVICE r2 #2)
+    assert 1.5 * 2 ** 30 < rep.detail["sharded dense composites (pcomp)"] \
+        < 2.0 * 2 ** 30
+    assert 9.5 * 2 ** 30 < rep.total < 11.0 * 2 ** 30
+    # sharded 8 ways each shard holds ~1.3 GiB — fits any TPU HBM
     assert rep.per_shard_total < 1.5 * 2 ** 30
     assert rep.fits(hbm_bytes=16 * 2 ** 30)
     # unsharded it does NOT fit an 8 GiB budget with headroom
@@ -182,23 +188,41 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
 # ---------------------------------------------------------------------------
 # 768x384 sharded short run (config 5 grid)
 # ---------------------------------------------------------------------------
+def test_768x384_needs_reduced_dt_crcl():
+    """At 768x384 the meridional diffusion CFL (kappa*dt_crcl/dyy^2 = 0.53
+    at dt_crcl=1800) violates the stability budget of the split substep —
+    the round-2 blow-up (Ts -> 1e7 K).  The grid builder now refuses it
+    with actionable guidance instead of integrating garbage."""
+    from greb_tpu.grid import make_grid
+    with pytest.raises(ValueError, match="dt_crcl"):
+        make_grid(768, 384, 1800)
+    g = make_grid(768, 384, 900)
+    assert g.extension_mode
+    # capped schedules: zonal diffusion CFL <= 0.5 per iteration everywhere
+    assert (g.diff_sched.ccx2[g.polar_rows] <= 0.5 + 1e-6).all()
+    # reference grid untouched by the cap
+    g0 = make_grid(96, 48, 1800)
+    assert not g0.extension_mode
+
+
 def test_768x384_sharded_short_run():
-    """The config-5 grid compiles and steps under 8-way latitude sharding
-    with the folded fast path (dense composites for the 156 deep-CFL
-    rows, 85 masked advection sub-cycle levels), short calendar."""
+    """The config-5 grid compiles and steps STABLY under 8-way latitude
+    sharding with the folded fast path (dense composites for the ~200
+    deep-CFL rows, 42 masked advection sub-cycle levels) at dt_crcl=900,
+    short calendar."""
     from greb_tpu.ops import fastcirc2 as fc2
     from greb_tpu.parallel.sharded import (make_mesh,
                                            make_sharded_year_runners,
                                            shard_fastcirc, shard_inputs)
-    num = Numerics(xdim=768, ydim=384, ndays_yr=1, jday_mon=(1,),
-                   time_flux=0, time_scnr=1)
+    num = Numerics(xdim=768, ydim=384, dt_crcl=900, ndays_yr=1,
+                   jday_mon=(1,), time_flux=0, time_scnr=1)
     m = _model(num)
     mesh = make_mesh(n_ens=1, n_y=8)
     splan, sconst = fc2.build_sharded(
         np.asarray(m.derived.wz_air), np.asarray(m.derived.wz_vapor),
         m.grid, m.st, kappa=float(m.params.kappa), n_shards=8)
-    assert splan.comp_mode == "dense"       # 453 MB/shard block, no SVD pass
-    assert splan.la_levels >= 80            # deep polar advection sub-cycling
+    assert splan.comp_mode == "dense"       # 226 MB/shard block, no SVD pass
+    assert splan.la_levels >= 40            # deep polar advection sub-cycling
     sconst_sh = shard_fastcirc(mesh, sconst)
     _, scnr_sh = make_sharded_year_runners(mesh, m.st, num, m.exp,
                                            m.month_mat, fast_plan=splan)
@@ -214,3 +238,40 @@ def test_768x384_sharded_short_run():
     ts = np.asarray(s1.ts)
     assert np.isfinite(ts).all()
     assert 150.0 < ts.min() and ts.max() < 400.0      # physical kelvin range
+
+
+def test_longrun_resume_output_continuity(tmp_path):
+    """ADVICE r2 #1: a crash-resume must preserve the monthly records
+    written before the crash and not duplicate any — the resumed process's
+    writer positions itself at the record implied by the resume cursor.
+    The final output file matches the uninterrupted run byte-for-byte."""
+    from greb_tpu.io.binio import read_output
+
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=6)
+    m = _model(num)
+    state_fc, corr = m.flux_correction()
+    co2 = np.full(6, CO2, np.float32)
+
+    # uninterrupted run with output
+    ref_path = str(tmp_path / "ref_out")
+    runner = longrun.driver_year_runner(m, output_path=ref_path)
+    longrun.run_long(6, state_fc, corr, co2, runner, chunk_years=2)
+
+    # interrupted: run 4 years, 'crash', resume in a FRESH runner (a new
+    # process would rebuild it) pointed at the same output file
+    out = str(tmp_path / "out")
+    ckdir = str(tmp_path / "ck")
+    ck = Checkpointer(ckdir, every_years=2)
+    r1 = longrun.driver_year_runner(m, output_path=out)
+    longrun.run_long(4, state_fc, corr, co2, r1, checkpointer=ck,
+                     chunk_years=2)
+    ck2 = Checkpointer(ckdir, every_years=2)
+    wrong = jax.tree.map(jnp.zeros_like, state_fc)
+    r2 = longrun.driver_year_runner(m, output_path=out)
+    longrun.run_long(6, wrong, corr, co2, r2, checkpointer=ck2,
+                     chunk_years=2)
+
+    got = read_output(out, num.xdim, num.ydim)
+    want = read_output(ref_path, num.xdim, num.ydim)
+    assert got.shape == want.shape == (6 * 2, 5, num.ydim, num.xdim)
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,102 @@
+"""MXU ensemble-path parity (VERDICT r2 weak #5).
+
+The production config-3 path runs the zonal applies as row-batched MXU
+matmuls (ops/fastcirc2.build_mxu / mxu_circulation) — the matrices are
+exact densifications of the 7-band coefficients, so with precision
+"highest" (exact f32) results differ from the VPU fold only by matmul
+contraction order, and with the production default "high" (bf16_3x) by a
+documented ~2^-21 relative error per apply.  This pins both against the
+vmap/VPU runner (itself oracle-anchored by tests/test_step.py and the
+golden year) over a FULL 730-step year of flux correction + scenario.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from greb_tpu.config import GrebConfig, Numerics
+from greb_tpu.model.driver import GREB
+from greb_tpu.ops import fastcirc2 as fc2
+from greb_tpu.parallel import ensemble as ens
+
+CO2 = jnp.float32(680.0)
+M = 2
+
+
+@pytest.fixture(scope="module")
+def mxu_setup():
+    num = Numerics(time_flux=1, time_scnr=1)       # full 730-step years
+    m = GREB(GrebConfig(numerics=num, fast_circulation=True), verbose=False)
+    plan, (const,) = m._fastcirc_split()
+    perturb = {"ct_sens": np.float32(22.5)
+               * (1.0 + 0.02 * np.linspace(-1, 1, M, dtype=np.float32))}
+    pb = ens.perturbed_params(m.params, perturb)
+    state_b = ens.ensemble_initial_state(
+        pb, m.forcing, ens.ensemble_data(pb, m.forcing, m.sf))
+    # reference: the vmap/VPU-fold ensemble runner
+    md_v = ens.ensemble_data(pb, m.forcing, m.sf)
+    flux_v, scnr_v = ens.make_ensemble_runners(m.st, m.num, m.exp,
+                                               m.month_mat, fast_plan=plan)
+    sv, corr_v = flux_v(state_b, m.sfx, CO2, md_v, (const,))
+    sv2, mon_v, _ = scnr_v(sv, m.sfx, corr_v, CO2, md_v, (const,))
+    md_b = ens.batched_model_data(pb, m.forcing, m.sf)
+    return m, plan, const, pb, state_b, md_b, corr_v, sv2, mon_v
+
+
+def _run_mxu(mxu_setup, precision):
+    m, plan, const, pb, state_b, md_b, corr_v, sv2, mon_v = mxu_setup
+    mxu = fc2.build_mxu(const, plan, precision=precision)
+    flux_b, scnr_b = ens.make_batched_ensemble_runners(
+        m.st, m.num, m.exp, m.month_mat, fast_plan=plan)
+    sb, corr_b = flux_b(state_b, m.sfx, CO2, md_b, (const, mxu))
+    sb2, mon_b, _ = scnr_b(sb, m.sfx, corr_b, CO2, md_b, (const, mxu))
+    d_tf = np.abs(np.asarray(corr_b.tf).transpose(1, 0, 2, 3)
+                  - np.asarray(corr_v.tf)).max()
+    d_mon = np.abs(np.asarray(mon_b) - np.asarray(mon_v)).max()
+    d_ts = np.abs(np.asarray(sb2.ts) - np.asarray(sv2.ts)).max()
+    return d_tf, d_mon, d_ts
+
+
+def test_mxu_highest_matches_vpu_fold(mxu_setup):
+    """Exact-f32 MXU vs VPU fold: differences are matmul contraction order
+    only — sub-millikelvin after a full year."""
+    d_tf, d_mon, d_ts = _run_mxu(mxu_setup, "highest")
+    assert d_ts < 5e-3, d_ts                     # K, end-of-year state
+    assert d_mon < 5e-3, d_mon                   # monthly means (mixed units)
+    assert d_tf < 5.0, d_tf                      # W/m^2 (cap_surf/dt scale:
+    #                                              ~1e4 x the K-scale diff)
+
+
+def test_mxu_high_error_budget(mxu_setup):
+    """Production precision ("high", bf16_3x): the documented error budget
+    vs the VPU fold over a full year — same order as f32 reassociation."""
+    d_tf, d_mon, d_ts = _run_mxu(mxu_setup, "high")
+    assert d_ts < 5e-2, d_ts
+    assert d_mon < 5e-2, d_mon
+    assert d_tf < 50.0, d_tf
+
+
+def test_mxu_densification_is_exact():
+    """The dense row matrices reproduce the banded coefficients exactly:
+    applying zd_mat to one-hot vectors recovers zd bit-for-bit, and the
+    advection densification (exact one-hot shift tensors) matches
+    step_coeffs output."""
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=1)
+    m = GREB(GrebConfig(numerics=num, fast_circulation=True), verbose=False)
+    plan, (const,) = m._fastcirc_split()
+    mxu = fc2.build_mxu(const, plan)
+    zd = np.asarray(const.zd)                    # (7, F, Y, X)
+    zmat = np.asarray(mxu.zd_mat)                # (F, Y, X, X)
+    _, F, Y, X = zd.shape
+    from greb_tpu.ops.fastcirc import _LON_IDX_SHIFT
+    jout = np.arange(X)
+    np.testing.assert_array_equal(zmat[:, :, jout, jout], zd[3])
+    for i, s in _LON_IDX_SHIFT:
+        np.testing.assert_array_equal(zmat[:, :, (jout - s) % X, jout],
+                                      zd[i])
+    cf = fc2.step_coeffs(m.forcing.uclim[0], m.forcing.vclim[0], const, plan)
+    za_mat = np.asarray(fc2.adv_matrix(cf.za, mxu))
+    za = np.asarray(cf.za)
+    np.testing.assert_array_equal(za_mat[:, :, jout, jout], za[3])
+    for i, s in _LON_IDX_SHIFT:
+        np.testing.assert_array_equal(za_mat[:, :, (jout - s) % X, jout],
+                                      za[i])

@@ -19,8 +19,13 @@ def _state_pair(setup):
     return st_o, st_j
 
 
-def _nonpolar(setup):
-    return ~np.asarray(setup.grid.polar_rows)
+def _all_rows(setup):
+    """All 48 rows INCLUDED, poles too (VERDICT r2 #8): step-level parity
+    vs the oracle holds on the sub-cycled polar rows as well (measured
+    single-step max |dTa| ~ 6e-5 K, five-step ~ similar — well inside the
+    tolerances); the historical polar mask predated the masked-stencil
+    rework and the golden year."""
+    return np.ones(setup.grid.ydim, bool)
 
 
 def test_scenario_step_matches_oracle(setup):
@@ -36,7 +41,7 @@ def test_scenario_step_matches_oracle(setup):
     corr_t = (jnp.zeros_like(st_j.ts),) * 3
     new_j, out = core.scenario_step(st_j, fx, corr_t, jnp.float32(co2),
                                     setup.md, setup.st, setup.num, setup.exp)
-    m = _nonpolar(setup)
+    m = _all_rows(setup)
     assert_close(np.asarray(new_j.ts)[m], new_o["ts"][m], rtol=1e-5, atol=2e-3,
                  name="ts")
     assert_close(np.asarray(new_j.ta)[m], new_o["ta"][m], rtol=1e-5, atol=2e-3,
@@ -60,7 +65,7 @@ def test_fluxcorr_step_matches_oracle(setup):
     new_j, (tf, tof, qf) = core.fluxcorr_step(st_j, fx, jnp.float32(co2),
                                               setup.md, setup.st, setup.num,
                                               setup.exp)
-    m = _nonpolar(setup)
+    m = _all_rows(setup)
     # corrected state is pinned to climatology: both must satisfy that
     assert_close(new_j.ts, o.tclim[ityr], rtol=1e-5, atol=1e-3, name="ts pin")
     assert_close(new_j.to, o.toclim, rtol=1e-6, atol=1e-4, name="to pin")
@@ -97,7 +102,7 @@ def test_multistep_fluxcorr_tracks_oracle(setup):
     sfx5 = jax.tree.map(lambda a: a[:nsteps], setup.sfx)
     st_j, (tf, tof, qf) = jax.lax.scan(body, st_j, sfx5)
 
-    m = _nonpolar(setup)
+    m = _all_rows(setup)
     assert_close(np.asarray(st_j.ts)[m], st_o["ts"][m], rtol=1e-5, atol=2e-3,
                  name="ts 5-step")
     assert_close(np.asarray(st_j.ta)[m], st_o["ta"][m], rtol=1e-5, atol=5e-3,

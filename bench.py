@@ -184,7 +184,8 @@ def main() -> None:
         state_b = ens.ensemble_initial_state(
             pb, m.forcing, ens.ensemble_data(pb, m.forcing, m.sf))
         plan, (const,) = m._fastcirc_split()
-        fcdata = (const, fc2.build_mxu(const, plan))
+        # "stacked" = both zonal applies in ONE matmul (measured best on v5e)
+        fcdata = (const, fc2.build_mxu(const, plan, mode="stacked"))
         flux_b, scnr_b = ens.make_batched_ensemble_runners(
             m.st, m.num, m.exp, m.month_mat, fast_plan=plan)
         state_b, corr_b = flux_b(state_b, m.sfx, co2, md_b, fcdata)

@@ -372,14 +372,27 @@ class MxuConst:
     # "highest" (exact f32) — selectable so the ensemble path can honour
     # the same fidelity contract as the single-run path (VERDICT r2 #5)
     precision: str = struct.field(pytree_node=False, default="high")
+    # mode selects the per-substep matmul structure:
+    #   "pair"    two batched matmuls (diffusion / advection) — default
+    #   "stacked" ONE matmul with the two matrices stacked along the
+    #             output dim (X -> 2X): halves the matmul issue count,
+    #             identical math and rounding per dot
+    #   "fused"   ONE matmul of the pre-folded zc = wz*zd + za for interior
+    #             rows, band rows recomputed on small slabs.  Different
+    #             float32 grouping (coefficients pre-multiplied by wz) —
+    #             parity pinned in tests/test_mxu.py.  Measured SLOWER at
+    #             M=256 on v5e (slab fix-up concats outweigh the saved
+    #             matmul); kept for bigger-M/worse-issue regimes.
+    mode: str = struct.field(pytree_node=False, default="pair")
 
 
 def build_mxu(const: Fast2Const, plan: FastPlan,
-              precision: str = "high") -> MxuConst:
+              precision: str = "high", mode: str = "pair") -> MxuConst:
     """Densify the constant zonal-diffusion coefficients into per-row
     matrices and precompute the one-hot shift tensors used to densify the
     per-step advection coefficients on device."""
     assert precision in ("high", "highest"), precision
+    assert mode in ("pair", "stacked", "fused"), mode
     zd = np.asarray(const.zd)                   # (7, F, Y, X)
     _, F, Y, X = zd.shape
     jout = np.arange(X)
@@ -392,7 +405,7 @@ def build_mxu(const: Fast2Const, plan: FastPlan,
     for i, s in _LON_IDX_SHIFT:
         sh[i, (jout - s) % X, jout] = 1.0
     return MxuConst(zd_mat=jnp.asarray(zmat), shift1h=jnp.asarray(sh),
-                    precision=precision)
+                    precision=precision, mode=mode)
 
 
 def adv_matrix(za: jax.Array, mxu: MxuConst) -> jax.Array:
@@ -441,12 +454,148 @@ def mxu_substep(x: jax.Array, cf: Fast2Coeffs, za_mat: jax.Array,
     return x + const.wz * dd + da + dy
 
 
+def _band_zonal(xs, zd_seg, za_seg):
+    """Band-slab zonal diffusion + advection with the polar clamps
+    (src/greb.f90:715, :907); every slab row is a band row so the clamps
+    apply unmasked.  Returns (dd, da) BEFORE the outer wz."""
+    dd = v1._clamped(v1._apply7(xs, zd_seg), xs)
+    da = v1._clamped(v1._apply7(xs, za_seg), xs)
+    return dd, da
+
+
+def _band_comp(xs, dd, const: Fast2Const, plan: FastPlan, top: bool):
+    """Slab-relative composite rows (the deep sub-cycled pole rows) of the
+    top/bottom band slab — mirrors _extra_diffusion.comp_rows with the
+    global row indices mapped into the slab."""
+    ktc, kbc = plan.comp_kt, plan.comp_kb
+    n = ktc if top else kbc
+    if n == 0:
+        return dd
+    B = xs.shape[-2]
+    lowrank = plan.comp_mode == "lowrank"
+    F = const.wz.shape[-3]
+    r0 = 0 if top else B - n
+    k0 = 0 if top else ktc
+    parts = []
+    for j in range(n):
+        r = r0 + j
+        fparts = []
+        for f in range(F):
+            t1 = xs[..., f, r:r + 1, :] + dd[..., f, r:r + 1, :]
+            t2 = _row_dot(t1, f, k0 + j, const, lowrank)
+            t1 = t1 + v1._clamped(t2 - t1, t1)
+            fparts.append(t1 - xs[..., f, r:r + 1, :])
+        parts.append(jnp.stack(fparts, axis=-3))
+    comp = jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+    if top:
+        return jnp.concatenate([comp, dd[..., n:, :]], axis=-2)
+    return jnp.concatenate([dd[..., :B - n, :], comp], axis=-2)
+
+
+def _band_segs(xs, d, csegs, segs, top: bool, offset: int):
+    """Slab-relative explicit extra iterations (diff_segs/adv_segs); the
+    iterating rows are a slab prefix (top) / suffix (bottom) past the
+    composite ``offset``."""
+    B = xs.shape[-2]
+    for kt, kb, iters in segs:
+        k = kt if top else kb
+        if not k:
+            continue
+        if top:
+            r0, r1 = offset, offset + k
+        else:
+            r0, r1 = B - offset - k, B - offset
+        t1 = xs[..., r0:r1, :] + d[..., r0:r1, :]
+        t1 = v1._iterate(t1, csegs[:, :, r0:r1, :], iters)
+        d = jnp.concatenate(
+            [d[..., :r0, :], t1 - xs[..., r0:r1, :], d[..., r1:, :]],
+            axis=-2)
+    return d
+
+
+def mxu_substep_fused(x: jax.Array, cf: Fast2Coeffs, zc_mat: jax.Array,
+                      const: Fast2Const, mxu: MxuConst, plan: FastPlan
+                      ) -> jax.Array:
+    """One dt_crcl substep: ONE combined matmul (wz*zd + za pre-folded)
+    for every row, then the band slabs (top bt / bottom bb rows, where the
+    zonal increments clamp and the deep rows composite) recomputed exactly
+    and overwritten.  Halves the MXU issue count per substep vs
+    mxu_substep and drops the full-field clamps/multiplies — the big-M
+    throughput path (VERDICT r3: aggregate-ensemble gap)."""
+    Y = x.shape[-2]
+    bt, bb = plan.bt, plan.bb
+    dc = _row_matmul(x, zc_mat, mxu.precision)
+    xe = extend_lat_zero(x, 2)
+    dy = cf.c0m * x
+    dy = dy + cf.mc[0] * xe[..., 0:Y, :]
+    dy = dy + cf.mc[1] * xe[..., 1:Y + 1, :]
+    dy = dy + cf.mc[2] * xe[..., 3:Y + 3, :]
+    dy = dy + cf.mc[3] * xe[..., 4:Y + 4, :]
+    out = x + dc + dy
+
+    def slab(r0, r1, top):
+        xs = x[..., r0:r1, :]
+        dd, da = _band_zonal(xs, const.zd[:, :, r0:r1, :],
+                             cf.za[:, :, r0:r1, :])
+        if plan.diff_segs:
+            dd = _band_segs(xs, dd, const.zd[:, :, r0:r1, :],
+                            plan.diff_segs, top,
+                            plan.comp_kt if top else plan.comp_kb)
+        if plan.diff_composite:
+            dd = _band_comp(xs, dd, const, plan, top)
+        if plan.adv_segs:
+            da = _band_segs(xs, da, cf.za[:, :, r0:r1, :],
+                            plan.adv_segs, top, 0)
+        return xs + const.wz[:, r0:r1, :] * dd + da + dy[..., r0:r1, :]
+
+    parts = []
+    if bt:
+        parts.append(slab(0, bt, True))
+    parts.append(out[..., bt:Y - bb, :])
+    if bb:
+        parts.append(slab(Y - bb, Y, False))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+
+def mxu_substep_stacked(x: jax.Array, cf: Fast2Coeffs, dz_mat: jax.Array,
+                        const: Fast2Const, mxu: MxuConst, plan: FastPlan
+                        ) -> jax.Array:
+    """One dt_crcl substep with BOTH zonal applies in one (X, 2X)-output
+    matmul (out[..., :X] = diffusion, [..., X:] = advection) — identical
+    per-dot math to mxu_substep, half the matmul issues."""
+    Y = x.shape[-2]
+    X = x.shape[-1]
+    both = _row_matmul(x, dz_mat, mxu.precision)         # (..., F, Y, 2X)
+    dd = both[..., :X]
+    da = both[..., X:]
+    dd = _masked_clamp(dd, x, const.band)
+    dd = _extra_diffusion(x, dd, const, plan)
+    da = _masked_clamp(da, x, const.band)
+    da = _extra_advection(x, da, cf, plan)
+    xe = extend_lat_zero(x, 2)
+    dy = cf.c0m * x
+    dy = dy + cf.mc[0] * xe[..., 0:Y, :]
+    dy = dy + cf.mc[1] * xe[..., 1:Y + 1, :]
+    dy = dy + cf.mc[2] * xe[..., 3:Y + 3, :]
+    dy = dy + cf.mc[3] * xe[..., 4:Y + 4, :]
+    return x + const.wz * dd + da + dy
+
+
 def mxu_circulation(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const,
                     mxu: MxuConst, plan: FastPlan, nsub: int,
                     unroll=False) -> jax.Array:
     """Sub-cycled circulation increment, MXU formulation (large batches)."""
     za_mat = adv_matrix(cf.za, mxu)
-    step = lambda xc: mxu_substep(xc, cf, za_mat, const, mxu, plan)
+    if mxu.mode == "fused":
+        zc_mat = za_mat + mxu.zd_mat * const.wz[:, :, None, :]
+        step = lambda xc: mxu_substep_fused(xc, cf, zc_mat, const, mxu,
+                                            plan)
+    elif mxu.mode == "stacked":
+        dz_mat = jnp.concatenate([mxu.zd_mat, za_mat], axis=-1)  # (F,Y,X,2X)
+        step = lambda xc: mxu_substep_stacked(xc, cf, dz_mat, const, mxu,
+                                              plan)
+    else:
+        step = lambda xc: mxu_substep(xc, cf, za_mat, const, mxu, plan)
     if unroll is True:
         xc = x
         for _ in range(nsub):

@@ -100,3 +100,64 @@ def test_mxu_densification_is_exact():
     for i, s in _LON_IDX_SHIFT:
         np.testing.assert_array_equal(za_mat[:, :, (jout - s) % X, jout],
                                       za[i])
+
+
+def test_mxu_fused_error_budget(mxu_setup):
+    """Fused interior apply (zc = wz*zd + za pre-folded into ONE per-row
+    matrix): the coefficient pre-fold rounds before the cancellation-heavy
+    stencil sum, so the increment carries ~1e-4 relative error per substep
+    — same class as the production bf16_3x budget.  Pinned over a full
+    year vs the VPU fold."""
+    m, plan, const, pb, state_b, md_b, corr_v, sv2, mon_v = mxu_setup
+    mxu = fc2.build_mxu(const, plan, precision="highest", mode="fused")
+    flux_b, scnr_b = ens.make_batched_ensemble_runners(
+        m.st, m.num, m.exp, m.month_mat, fast_plan=plan)
+    sb, corr_b = flux_b(state_b, m.sfx, CO2, md_b, (const, mxu))
+    sb2, mon_b, _ = scnr_b(sb, m.sfx, corr_b, CO2, md_b, (const, mxu))
+    d_mon = np.abs(np.asarray(mon_b) - np.asarray(mon_v)).max()
+    d_ts = np.abs(np.asarray(sb2.ts) - np.asarray(sv2.ts)).max()
+    assert d_ts < 1e-1, d_ts
+    assert d_mon < 1e-1, d_mon
+    assert np.isfinite(np.asarray(sb2.ts)).all()
+
+
+def test_mxu_fused_single_step_parity():
+    """24-substep circulation: fused vs unfused MXU vs VPU fold on a
+    member batch — tight bound, one step (no year-scale accumulation)."""
+    import jax.numpy as jnp
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=1)
+    m = GREB(GrebConfig(numerics=num, fast_circulation=True), verbose=False)
+    plan, (const,) = m._fastcirc_split()
+    mxu_u = fc2.build_mxu(const, plan, precision="highest")
+    mxu_f = fc2.build_mxu(const, plan, precision="highest", mode="fused")
+    s0 = m.initial_state()
+    x = jnp.stack([jnp.stack([s0.ta + 0.1 * i, s0.q * (1 + 0.01 * i)])
+                   for i in range(3)])
+    cf = fc2.step_coeffs(m.forcing.uclim[0], m.forcing.vclim[0], const, plan)
+    d_u = fc2.mxu_circulation(x, cf, const, mxu_u, plan, nsub=24)
+    d_f = fc2.mxu_circulation(x, cf, const, mxu_f, plan, nsub=24)
+    d_v = fc2.circulation(x, cf, const, plan, nsub=24)
+    # ta increments O(6 K), q increments O(2e-3): bound per field
+    assert float(jnp.abs(d_f[:, 0] - d_u[:, 0]).max()) < 5e-3
+    assert float(jnp.abs(d_f[:, 0] - d_v[:, 0]).max()) < 5e-3
+    assert float(jnp.abs(d_f[:, 1] - d_u[:, 1]).max()) < 5e-6
+    assert float(jnp.abs(d_f[:, 1] - d_v[:, 1]).max()) < 5e-6
+
+
+def test_mxu_stacked_bit_identical():
+    """mode="stacked" concatenates the two matrices along the output dim —
+    each output column's dot is unchanged, so results are BIT-identical to
+    mode="pair" at the same precision."""
+    import jax.numpy as jnp
+    num = Numerics(ndays_yr=10, jday_mon=(6, 4), time_flux=1, time_scnr=1)
+    m = GREB(GrebConfig(numerics=num, fast_circulation=True), verbose=False)
+    plan, (const,) = m._fastcirc_split()
+    mxu_p = fc2.build_mxu(const, plan, precision="highest")
+    mxu_s = fc2.build_mxu(const, plan, precision="highest", mode="stacked")
+    s0 = m.initial_state()
+    x = jnp.stack([jnp.stack([s0.ta + 0.1 * i, s0.q * (1 + 0.01 * i)])
+                   for i in range(3)])
+    cf = fc2.step_coeffs(m.forcing.uclim[0], m.forcing.vclim[0], const, plan)
+    d_p = fc2.mxu_circulation(x, cf, const, mxu_p, plan, nsub=24)
+    d_s = fc2.mxu_circulation(x, cf, const, mxu_s, plan, nsub=24)
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_s))

@@ -47,9 +47,15 @@ def bench(M, MB, NY):
           f"{r*M:9.1f} aggregate member-yr/s", flush=True)
     assert np.isfinite(np.asarray(mon)).all()
 
-for (M, MB, NY) in [(1, 1, 10), (4, 4, 10), (8, 8, 10), (16, 16, 5),
-                    (32, 16, 5), (32, 32, 5), (64, 16, 5), (64, 64, 2),
-                    (128, 16, 2), (256, 16, 2), (256, 32, 2)]:
+import os
+cfgs = os.environ.get("CFGS", "")
+if cfgs:
+    triples = [tuple(int(v) for v in c.split(":")) for c in cfgs.split(",")]
+else:
+    triples = [(1, 1, 10), (4, 4, 10), (8, 8, 10), (16, 16, 5),
+               (32, 16, 5), (32, 32, 5), (64, 16, 5), (64, 64, 2),
+               (128, 16, 2), (256, 16, 2), (256, 32, 2)]
+for (M, MB, NY) in triples:
     try:
         bench(M, MB, NY)
     except Exception as e:

@@ -135,15 +135,21 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         # ADD at the joint worst Fourier mode:
         #   |1 + cz*gz(pi) + Ca*ga(pi) + 4*ccy| <= 1  requires
         #   0.8*cz + 0.35*Ca + 4*ccy <= 2   (gz(pi) = -16/20, ga(pi) = -14/40)
-        # Capping the zonal diffusion CFL at 0.5/row-iteration, the advective
-        # CFL at 1 per iteration at the 10 m/s design wind (reference
-        # assumption, src/greb.f90:838; real winds ~13 m/s -> 1.3), and
-        # requiring ccy <= 0.28 keeps the joint symbol's modulus <= 1
-        # (verified numerically over (theta_x, theta_y) — max = 1.0 at the
-        # conserved mode, ~0.92 elsewhere).  The meridional pass has NO
-        # sub-cycling anywhere (reference structure), so ccy is controlled
-        # through dt_crcl — a reference namelist parameter.
-        CZ_CAP = 0.5
+        # The zonal diffusion cap spends whatever the other terms leave:
+        # with the advective CFL capped at 1 per iteration at the 10 m/s
+        # design wind (reference assumption, src/greb.f90:838; real winds
+        # ~13 m/s -> Ca ~ 1.3, 0.35*Ca ~ 0.46) and a 0.05 safety margin,
+        #     cz_cap = (1.95 - 0.46 - 4*ccy) / 0.8,  clipped to [0.4, 1.2].
+        # At 768x384/dt_crcl=900 (ccy=0.265) that is 0.54; at
+        # 384x192/dt_crcl=1800 (ccy=0.133) it is 1.2, keeping that grid's
+        # sub-cycle depths (and cost) near the reference rule's.  Verified
+        # numerically: the joint symbol's modulus stays <= 1 over
+        # (theta_x, theta_y) at both operating points (~0.95 at the worst
+        # mode; 1.0 only at the conserved mode).  The meridional pass has
+        # NO sub-cycling anywhere (reference structure), so ccy is
+        # controlled through dt_crcl — a reference namelist parameter.
+        CZ_CAP = float(np.clip(
+            (1.95 - 0.46 - 4.0 * float(ccy_diff)) / 0.8, 0.4, 1.2))
         if float(ccy_diff) > 0.28:
             raise ValueError(
                 f"grid {xdim}x{ydim}: meridional diffusion CFL "

@@ -77,8 +77,23 @@ def _map_axes(ax, lon, lat, field, cmap, vmin=None, vmax=None):
     return im
 
 
+def add_coastline(ax, z_topo: np.ndarray, color: str = "#333333",
+                  linewidth: float = 0.7):
+    """Coastline overlay for the map figures (the reference caches a
+    Natural Earth coastline for this, R/functions.R:113-118
+    ``save_ne_coast``).  No external datasets exist in this environment,
+    so the coastline is the z_topo >= 0 land-sea boundary of the model's
+    OWN topography — the contour the model physics actually sees, drawn
+    at the grid's resolution."""
+    z = np.asarray(z_topo)
+    lon, lat = cell_lonlat(z.shape[1], z.shape[0])
+    ax.contour(lon, lat, (z >= 0).astype(float), levels=[0.5],
+               colors=color, linewidths=linewidth, zorder=4)
+
+
 def albedo_map(albedo: np.ndarray, title: str = "September albedo",
-               arctic_only: bool = True, nlon: int = None, nlat: int = None):
+               arctic_only: bool = True, nlon: int = None, nlat: int = None,
+               z_topo: np.ndarray = None):
     """Albedo map, optionally restricted to the Arctic (lat >= 60 N) like
     R/analyse_output_fields.R:20-30.  ``albedo``: (lat, lon) with lat
     ordered south->north (model layout)."""
@@ -92,6 +107,10 @@ def albedo_map(albedo: np.ndarray, title: str = "September albedo",
         im = _map_axes(ax, lon, lat[sel], albedo[sel], _SEQ, 0.0, 1.0)
     else:
         im = _map_axes(ax, lon, lat, albedo, _SEQ, 0.0, 1.0)
+    if z_topo is not None:
+        add_coastline(ax, z_topo)
+        if arctic_only:
+            ax.set_ylim(60.0, lat.max())
     fig.colorbar(im, ax=ax, label="albedo")
     ax.set_title(title, loc="left")
     fig.tight_layout()
@@ -99,7 +118,7 @@ def albedo_map(albedo: np.ndarray, title: str = "September albedo",
 
 
 def anomaly_map(delta: np.ndarray, title: str = "ΔTsurf [K]",
-                unit: str = "K"):
+                unit: str = "K", z_topo: np.ndarray = None):
     """Signed change map (e.g. late-minus-early Tsurf): diverging colormap
     with the neutral midpoint pinned at zero."""
     plt = _mpl()
@@ -108,6 +127,8 @@ def anomaly_map(delta: np.ndarray, title: str = "ΔTsurf [K]",
     lim = float(np.nanmax(np.abs(delta))) or 1.0
     fig, ax = plt.subplots(figsize=(7, 3.6), dpi=120)
     im = _map_axes(ax, lon, lat, delta, _DIV, -lim, lim)
+    if z_topo is not None:
+        add_coastline(ax, z_topo)
     fig.colorbar(im, ax=ax, label=unit)
     ax.set_title(title, loc="left")
     fig.tight_layout()
@@ -164,12 +185,14 @@ def save_all(prefix: str, monthly: np.ndarray,
         gm = [float(np.asarray(d.global_mean_ts)) for d in diags]
         _save(warming_curve(gm), "warming")
     years = monthly.shape[0]
-    _save(albedo_map(monthly[0, 8, 4], "September albedo, year 1"),
-          "albedo_y1")
-    _save(albedo_map(monthly[-1, 8, 4], f"September albedo, year {years}"),
-          "albedo_yN")
+    zt = np.asarray(forcing.z_topo) if forcing is not None else None
+    _save(albedo_map(monthly[0, 8, 4], "September albedo, year 1",
+                     z_topo=zt), "albedo_y1")
+    _save(albedo_map(monthly[-1, 8, 4], f"September albedo, year {years}",
+                     z_topo=zt), "albedo_yN")
     _save(anomaly_map(monthly[-1, :, 0].mean(0) - monthly[0, :, 0].mean(0),
-                      "ΔTsurf, last minus first year [K]"), "dtsurf")
+                      "ΔTsurf, last minus first year [K]", z_topo=zt),
+          "dtsurf")
     if forcing is not None:
         _save(land_sea_mask_plot(np.asarray(forcing.z_topo)), "mask")
         _save(wind_quiver(np.asarray(forcing.uclim[0]),

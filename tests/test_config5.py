@@ -198,8 +198,11 @@ def test_768x384_needs_reduced_dt_crcl():
         make_grid(768, 384, 1800)
     g = make_grid(768, 384, 900)
     assert g.extension_mode
-    # capped schedules: zonal diffusion CFL <= 0.5 per iteration everywhere
-    assert (g.diff_sched.ccx2[g.polar_rows] <= 0.5 + 1e-6).all()
+    # capped schedules: zonal diffusion CFL per iteration bounded by the
+    # budget-derived cap (1.95 - 0.46 - 4*ccy)/0.8 ~ 0.54 at this grid
+    cap = (1.95 - 0.46 - 4.0 * g.ccy_diff) / 0.8
+    assert 0.5 < cap < 0.6
+    assert (g.diff_sched.ccx2[g.polar_rows] <= cap + 1e-6).all()
     # reference grid untouched by the cap
     g0 = make_grid(96, 48, 1800)
     assert not g0.extension_mode

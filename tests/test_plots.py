@@ -59,3 +59,18 @@ def test_input_field_plots(setup):
     f2 = plots.wind_quiver(np.asarray(setup.forcing.uclim[0]),
                            np.asarray(setup.forcing.vclim[0]))
     assert f2.axes[0].collections
+
+
+def test_coastline_overlay(tmp_path):
+    """Maps carry the coastline overlay (reference R/functions.R:113-118
+    save_ne_coast; here derived from the model's own z_topo land-sea
+    boundary since no external datasets exist offline)."""
+    import numpy as np
+    from greb_tpu import plots
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((48, 96)) * 1000.0
+    fig = plots.albedo_map(rng.random((48, 96)), z_topo=z)
+    # a contour collection was added on top of the pcolormesh
+    assert len(fig.axes[0].collections) >= 2
+    fig2 = plots.anomaly_map(rng.standard_normal((48, 96)), z_topo=z)
+    assert len(fig2.axes[0].collections) >= 2

@@ -20,14 +20,16 @@ become statically-unrolled (or fori_loop) masked updates.
 Grids finer than the reference's envelope — where some row's integer
 sub-step ``dt_crcl/dd`` truncates to zero (the reference would divide by
 zero, src/greb.f90:652-653) — switch to EXTENSION MODE: fractional
-sub-steps with the per-iteration zonal CFL capped at 0.5 and the
-advective CFL at 1 (10 m/s design wind), chosen so the joint Fourier
-symbol of the split substep (zonal + advective + meridional increments
-added from the same state) has modulus <= 1.  Because the meridional
-pass is never sub-cycled (reference structure, src/greb.f90:585-590),
-extension grids additionally require ``kappa*dt_crcl/dyy^2 <= 0.28`` —
-enforced with a clear error telling the user to lower dt_crcl (e.g.
-900 s at 768x384), which is a reference namelist parameter.
+sub-steps with budget-derived per-iteration CFL caps, chosen so the
+joint Fourier symbol of the split substep (zonal + advective +
+meridional increments added from the same state) has modulus <= 1 for
+EVERY sub-cycle depth n — including the deep polar rows whose n-iterated
+zonal diffusion leaves no damping mass at the worst mode (see the
+criteria in the extension branch below).  Because the meridional pass is
+never sub-cycled (reference structure, src/greb.f90:585-590), extension
+grids additionally require ``kappa*dt_crcl/dyy^2 <= ~0.146`` — enforced
+with a clear error telling the user to lower dt_crcl (450 s at 768x384),
+which is a reference namelist parameter.
 """
 from __future__ import annotations
 
@@ -132,32 +134,45 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         # rather than reproduction (the reference cannot run such grids).
         # The substep adds three increments computed from the same state
         # (zonal, advective, meridional), so their amplification budgets
-        # ADD at the joint worst Fourier mode:
-        #   |1 + cz*gz(pi) + Ca*ga(pi) + 4*ccy| <= 1  requires
-        #   0.8*cz + 0.35*Ca + 4*ccy <= 2   (gz(pi) = -16/20, ga(pi) = -14/40)
-        # The zonal diffusion cap spends whatever the other terms leave:
-        # with the advective CFL capped at 1 per iteration at the 10 m/s
-        # design wind (reference assumption, src/greb.f90:838; real winds
-        # ~13 m/s -> Ca ~ 1.3, 0.35*Ca ~ 0.46) and a 0.05 safety margin,
-        #     cz_cap = (1.95 - 0.46 - 4*ccy) / 0.8,  clipped to [0.4, 1.2].
-        # At 768x384/dt_crcl=900 (ccy=0.265) that is 0.54; at
-        # 384x192/dt_crcl=1800 (ccy=0.133) it is 1.2, keeping that grid's
-        # sub-cycle depths (and cost) near the reference rule's.  Verified
-        # numerically: the joint symbol's modulus stays <= 1 over
-        # (theta_x, theta_y) at both operating points (~0.95 at the worst
-        # mode; 1.0 only at the conserved mode).  The meridional pass has
-        # NO sub-cycling anywhere (reference structure), so ccy is
-        # controlled through dt_crcl — a reference namelist parameter.
-        CZ_CAP = float(np.clip(
-            (1.95 - 0.46 - 4.0 * float(ccy_diff)) / 0.8, 0.4, 1.2))
-        if float(ccy_diff) > 0.28:
+        # ADD at the joint worst Fourier mode.  TWO criteria govern it
+        # (gz(pi) = -16/20, ga(pi) = -14/40, gm(pi) = -2 each side):
+        #
+        # 1. DEEP-SUBCYCLED rows: the n-iterated zonal diffusion factor
+        #    (1 + cz*gz)^n collapses to ~0 at the worst zonal mode for
+        #    n >= ~3, so it contributes NO stabilizing mass there — the
+        #    advective + meridional terms must be a contraction ON THEIR
+        #    OWN:  0.35*Ca + 4*ccy <= 1 - margin.  (Round-3 lesson: at
+        #    dt_crcl=900/768x384 this sum is 1.52 and the composite band
+        #    blew up within ~150 substeps even though every single-apply
+        #    budget held.)  With the advective CFL capped at 0.8 per
+        #    iteration at the 10 m/s design wind (real winds ~13 m/s ->
+        #    Ca <= 1.04, 0.35*Ca <= 0.37), this requires ccy <= 0.14 —
+        #    enforced below via dt_crcl, a reference namelist parameter
+        #    (the meridional pass is never sub-cycled; reference
+        #    structure, src/greb.f90:585-590).
+        # 2. SINGLE-APPLY rows:  0.8*cz + 0.35*Ca + 4*ccy <= 1.95, giving
+        #    the zonal cap  cz_cap = (1.95 - 0.37 - 4*ccy)/0.8, clipped
+        #    to [0.4, 1.2].
+        #
+        # Verified numerically over (theta_x, theta_y) for n in 1..5000 at
+        # the operating points 384x192/dt_crcl=1800 and 768x384/dt_crcl=450
+        # (both ccy = 0.133): max |lambda| <= 1 with ~0.07 deep-row margin.
+        U_DESIGN = 10.0          # reference's assumed wind (src/greb.f90:838)
+        ADV_CFL = 0.8            # per-iteration advective CFL at U_DESIGN
+        CA_MAX = 13.0 / U_DESIGN * ADV_CFL   # real synthetic winds ~13 m/s
+        CCY_MAX = (1.0 - 0.05 - 0.35 * CA_MAX) / 4.0     # 0.146
+        if float(ccy_diff) > CCY_MAX:
             raise ValueError(
                 f"grid {xdim}x{ydim}: meridional diffusion CFL "
-                f"ccy={float(ccy_diff):.3f} > 0.28 is unstable on this "
-                f"refined grid (the meridional pass is never sub-cycled, "
-                f"src/greb.f90:585-590).  Reduce dt_crcl in the numerics "
-                f"namelist (dt_crcl <= "
-                f"{int(0.28 * dyy * dyy / float(kappa))} s here; e.g. 900).")
+                f"ccy={float(ccy_diff):.3f} > {CCY_MAX:.3f} is unstable on "
+                f"this refined grid: the deep polar sub-cycles leave no "
+                f"zonal-diffusion damping at the worst mode, so advection "
+                f"+ meridional must contract alone (see grid.py).  Reduce "
+                f"dt_crcl in the numerics namelist (dt_crcl <= "
+                f"{int(CCY_MAX * dyy * dyy / float(kappa))} s here; "
+                f"e.g. 450).")
+        CZ_CAP = float(np.clip(
+            (1.95 - 0.35 * CA_MAX - 4.0 * float(ccy_diff)) / 0.8, 0.4, 1.2))
 
         t2d = np.zeros(ydim, np.int32)
         s2d = np.zeros(ydim, F32)
@@ -174,7 +189,8 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
             t2d[k] = dd
             s2d[k] = F32(sub)
             c2d[k] = kappa * F32(sub) / (dxlat[k] * dxlat[k])
-            dda = max(1, int(np.ceil(float(dtc) * 10.0 / float(dxlat[k]))))
+            dda = max(1, int(np.ceil(
+                float(dtc) * U_DESIGN / (float(dxlat[k]) * ADV_CFL))))
             suba = dtc / F32(dda)
             t2a[k] = dda
             s2a[k] = F32(suba)

@@ -37,9 +37,9 @@ def _model(num, fast=True):
 # memory accounting
 # ---------------------------------------------------------------------------
 def test_memory_accounting_768x384():
-    # config 5 runs at dt_crcl=900 (extension grids require the meridional
-    # CFL kappa*dt_crcl/dyy^2 <= 0.28; see grid.make_grid)
-    num = Numerics(xdim=768, ydim=384, dt_crcl=900)  # full 730-step calendar
+    # config 5 runs at dt_crcl=450 (extension grids require the meridional
+    # CFL kappa*dt_crcl/dyy^2 <= ~0.146; see grid.make_grid)
+    num = Numerics(xdim=768, ydim=384, dt_crcl=450)  # full 730-step calendar
     rep = memory_report(num, n_members=1, n_shards=8)
     one_field = 730 * 384 * 768 * 4
     assert rep.detail["one (t,y,x) field"] == one_field
@@ -189,20 +189,24 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
 # 768x384 sharded short run (config 5 grid)
 # ---------------------------------------------------------------------------
 def test_768x384_needs_reduced_dt_crcl():
-    """At 768x384 the meridional diffusion CFL (kappa*dt_crcl/dyy^2 = 0.53
-    at dt_crcl=1800) violates the stability budget of the split substep —
-    the round-2 blow-up (Ts -> 1e7 K).  The grid builder now refuses it
-    with actionable guidance instead of integrating garbage."""
+    """At 768x384 the meridional diffusion CFL violates the stability
+    budget of the split substep at dt_crcl=1800 (the round-2 blow-up,
+    Ts -> 1e7 K) AND at 900 (the deep-subcycled rows leave no zonal
+    damping at the worst mode, so 0.35*Ca + 4*ccy must contract alone —
+    at 900 it is 1.4+).  The grid builder refuses both with actionable
+    guidance instead of integrating garbage."""
     from greb_tpu.grid import make_grid
     with pytest.raises(ValueError, match="dt_crcl"):
         make_grid(768, 384, 1800)
-    g = make_grid(768, 384, 900)
+    with pytest.raises(ValueError, match="dt_crcl"):
+        make_grid(768, 384, 900)
+    g = make_grid(768, 384, 450)
     assert g.extension_mode
     # capped schedules: zonal diffusion CFL per iteration bounded by the
-    # budget-derived cap (1.95 - 0.46 - 4*ccy)/0.8 ~ 0.54 at this grid
-    cap = (1.95 - 0.46 - 4.0 * g.ccy_diff) / 0.8
-    assert 0.5 < cap < 0.6
-    assert (g.diff_sched.ccx2[g.polar_rows] <= cap + 1e-6).all()
+    # budget-derived cap, clipped at 1.2
+    assert (g.diff_sched.ccx2[g.polar_rows] <= 1.2 + 1e-6).all()
+    # deep-row criterion honoured: 0.35*Ca_max + 4*ccy < 1
+    assert 0.35 * 1.04 + 4 * g.ccy_diff < 0.95
     # reference grid untouched by the cap
     g0 = make_grid(96, 48, 1800)
     assert not g0.extension_mode
@@ -210,14 +214,14 @@ def test_768x384_needs_reduced_dt_crcl():
 
 def test_768x384_sharded_short_run():
     """The config-5 grid compiles and steps STABLY under 8-way latitude
-    sharding with the folded fast path (dense composites for the ~200
-    deep-CFL rows, 42 masked advection sub-cycle levels) at dt_crcl=900,
-    short calendar."""
+    sharding with the folded fast path (dense composites for the deep-CFL
+    rows, masked advection sub-cycle levels) at dt_crcl=450, short
+    calendar."""
     from greb_tpu.ops import fastcirc2 as fc2
     from greb_tpu.parallel.sharded import (make_mesh,
                                            make_sharded_year_runners,
                                            shard_fastcirc, shard_inputs)
-    num = Numerics(xdim=768, ydim=384, dt_crcl=900, ndays_yr=1,
+    num = Numerics(xdim=768, ydim=384, dt_crcl=450, ndays_yr=1,
                    jday_mon=(1,), time_flux=0, time_scnr=1)
     m = _model(num)
     mesh = make_mesh(n_ens=1, n_y=8)
@@ -225,7 +229,7 @@ def test_768x384_sharded_short_run():
         np.asarray(m.derived.wz_air), np.asarray(m.derived.wz_vapor),
         m.grid, m.st, kappa=float(m.params.kappa), n_shards=8)
     assert splan.comp_mode == "dense"       # 226 MB/shard block, no SVD pass
-    assert splan.la_levels >= 40            # deep polar advection sub-cycling
+    assert splan.la_levels >= 20            # deep polar advection sub-cycling
     sconst_sh = shard_fastcirc(mesh, sconst)
     _, scnr_sh = make_sharded_year_runners(mesh, m.st, num, m.exp,
                                            m.month_mat, fast_plan=splan)

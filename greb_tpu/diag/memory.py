@@ -34,6 +34,10 @@ class MemoryReport:
     n_members: int
     n_shards: int
     detail: Dict[str, int] = field(default_factory=dict)
+    # non-empty when the configuration cannot build at all (e.g. the
+    # extension-mode CFL check rejects dt_crcl): the report still carries
+    # the grid-independent budgets so planning callers can see them
+    infeasible_reason: str = ""
 
     def fits(self, hbm_bytes: int = 16 * 2 ** 30,
              headroom: float = 0.75) -> bool:
@@ -75,14 +79,24 @@ def memory_report(num: Numerics, n_members: int = 1,
     monthly = n_members * 12 * 5 * cell
     composites = 0
     amask = 0
+    infeasible = ""
     if n_shards > 1 and y % n_shards == 0:
-        geo = fc2.sharded_geometry(make_grid(x, y, num.dt_crcl), n_shards)
-        if geo.comp_mode == "dense":
-            composites = 2 * n_shards * max(geo.K, 1) * x * x * _B
-        elif geo.comp_mode == "lowrank":
-            # rank is data-dependent (SVD truncation); budget the worst case
-            composites = 2 * n_shards * max(geo.K, 1) * 2 * x * x * _B
-        amask = max(geo.la_levels, 1) * y * _B
+        # a pure planning function must keep reporting even when the grid
+        # itself is infeasible (make_grid raises on CFL violations) —
+        # advisor r3: report without the composite block instead of throwing
+        try:
+            geo = fc2.sharded_geometry(make_grid(x, y, num.dt_crcl),
+                                       n_shards)
+        except ValueError as e:
+            geo = None
+            infeasible = str(e)
+        if geo is not None:
+            if geo.comp_mode == "dense":
+                composites = 2 * n_shards * max(geo.K, 1) * x * x * _B
+            elif geo.comp_mode == "lowrank":
+                # rank is data-dependent (SVD truncation); budget the worst
+                composites = 2 * n_shards * max(geo.K, 1) * 2 * x * x * _B
+            amask = max(geo.la_levels, 1) * y * _B
     total = forcing + corrections + state + fastcirc + monthly \
         + composites + amask
     # latitude sharding splits every y-axis array evenly (the composite
@@ -103,7 +117,8 @@ def memory_report(num: Numerics, n_members: int = 1,
                         corrections=corrections, state=state,
                         fastcirc=fastcirc, monthly_out=monthly, total=total,
                         per_shard_total=per_shard, n_members=n_members,
-                        n_shards=n_shards, detail=detail)
+                        n_shards=n_shards, detail=detail,
+                        infeasible_reason=infeasible)
 
 
 def format_report(rep: MemoryReport) -> str:
@@ -113,4 +128,7 @@ def format_report(rep: MemoryReport) -> str:
         lines.append(f"  {k:40s} {_fmt(v)}")
     lines.append(f"  {'TOTAL (global)':40s} {_fmt(rep.total)}")
     lines.append(f"  {'per shard':40s} {_fmt(rep.per_shard_total)}")
+    if rep.infeasible_reason:
+        lines.append(f"  NOTE: configuration cannot build "
+                     f"(composite block omitted): {rep.infeasible_reason}")
     return "\n".join(lines)

@@ -83,13 +83,24 @@ class Grid:
 
 
 def make_grid(xdim: int, ydim: int, dt_crcl: int,
-              kappa: float = 8e5, pi: float = 3.1416) -> Grid:
+              kappa: float = 8e5, pi: float = 3.1416,
+              max_wind: float | None = None) -> Grid:
     """Build grid metrics with reference float32 arithmetic.
 
     kappa and pi must be CONCRETE here (they set static iteration counts);
     perturbing them per-ensemble keeps the base schedule (documented
     deviation — the coefficients themselves still follow the traced values
     inside the ops).
+
+    ``max_wind`` (m/s) bounds the forcing's |u| for the EXTENSION-MODE
+    stability budget (the reference-envelope schedules assume 10 m/s by
+    construction, src/greb.f90:838, and are not affected).  When the actual
+    climatological winds exceed the 13 m/s design bound, the advective
+    amplification budget CA_MAX grows with them and the meridional-CFL
+    check below tightens accordingly — without this, winds above 13 m/s
+    silently violate the deep-row contraction criterion 0.35*Ca + 4*ccy
+    <= 1 (advisor finding r3).  Callers that know the forcing (model
+    build) must pass ``np.abs(uclim).max()``.
     """
     pi = F32(pi)
     kappa = F32(kappa)
@@ -159,16 +170,24 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         # (both ccy = 0.133): max |lambda| <= 1 with ~0.07 deep-row margin.
         U_DESIGN = 10.0          # reference's assumed wind (src/greb.f90:838)
         ADV_CFL = 0.8            # per-iteration advective CFL at U_DESIGN
-        CA_MAX = 13.0 / U_DESIGN * ADV_CFL   # real synthetic winds ~13 m/s
-        CCY_MAX = (1.0 - 0.05 - 0.35 * CA_MAX) / 4.0     # 0.146
+        # budget wind: the advective sub-cycle count keeps the
+        # per-iteration CFL at ADV_CFL only for winds <= U_DESIGN; real
+        # winds scale it linearly, so the amplification budget must use
+        # the actual forcing bound (>= the 13 m/s synthetic-wind design
+        # point for backward compatibility when the caller can't know it)
+        wind_bound = max(13.0, float(max_wind)) if max_wind is not None \
+            else 13.0
+        CA_MAX = wind_bound / U_DESIGN * ADV_CFL
+        CCY_MAX = (1.0 - 0.05 - 0.35 * CA_MAX) / 4.0     # 0.146 at 13 m/s
         if float(ccy_diff) > CCY_MAX:
             raise ValueError(
                 f"grid {xdim}x{ydim}: meridional diffusion CFL "
-                f"ccy={float(ccy_diff):.3f} > {CCY_MAX:.3f} is unstable on "
-                f"this refined grid: the deep polar sub-cycles leave no "
-                f"zonal-diffusion damping at the worst mode, so advection "
-                f"+ meridional must contract alone (see grid.py).  Reduce "
-                f"dt_crcl in the numerics namelist (dt_crcl <= "
+                f"ccy={float(ccy_diff):.3f} > {CCY_MAX:.3f} (at max wind "
+                f"{wind_bound:.1f} m/s) is unstable on this refined grid: "
+                f"the deep polar sub-cycles leave no zonal-diffusion "
+                f"damping at the worst mode, so advection + meridional "
+                f"must contract alone (see grid.py).  Reduce dt_crcl in "
+                f"the numerics namelist (dt_crcl <= "
                 f"{int(CCY_MAX * dyy * dyy / float(kappa))} s here; "
                 f"e.g. 450).")
         CZ_CAP = float(np.clip(

@@ -107,6 +107,16 @@ class OutputWriter:
         recl = 4 * xdim * ydim
         if start_record is not None:
             exists = os.path.exists(path)
+            have = os.path.getsize(path) if exists else 0
+            if start_record > 0 and have < start_record * recl:
+                # a resumed stream positioned past the end of the existing
+                # file would silently zero-fill the head (advisor r3): the
+                # pre-crash months are gone, refuse to fabricate them
+                raise ValueError(
+                    f"{path}: output resume expects >= {start_record} "
+                    f"existing records ({start_record * recl} B), found "
+                    f"{have} B — the file was truncated, moved or deleted; "
+                    f"restart the run (or fix start_record)")
             self._f = open(path, "r+b" if exists else "w+b")
             if truncate:
                 self._f.truncate(start_record * recl)

@@ -50,9 +50,13 @@ class GREB:
         forcing = apply_experiment(forcing, self.params, self.exp)
         self.forcing = forcing
 
+        # extension-mode stability budgets must see the real forcing winds
+        # (advisor r3: the 13 m/s design bound was silently assumed)
         self.grid = make_grid(self.num.xdim, self.num.ydim, self.num.dt_crcl,
                               kappa=float(self.params.kappa),
-                              pi=float(self.params.pi))
+                              pi=float(self.params.pi),
+                              max_wind=float(np.abs(
+                                  np.asarray(forcing.uclim)).max()))
         self.st, sf_np = stc.make_stencil_arrays(self.grid,
                                                  cfg.fidelity_jp2_quirk)
         self.sf = jax.tree.map(jnp.asarray, sf_np)

@@ -115,12 +115,20 @@ def driver_year_runner(model, output_path: Optional[str] = None,
 
 
 def sharded_year_runner(mesh, scnr_sh, sfx_s, md_s, fcconst=None,
-                        shard_state: Optional[Callable] = None) -> YearRunner:
+                        shard_state: Optional[Callable] = None,
+                        on_year: Optional[Callable[[np.ndarray], None]]
+                        = None) -> YearRunner:
     """A chunk body over a sharded scenario-year runner
     (parallel.sharded.make_sharded_year_runners): one jitted call per year,
     state carried on-device.  ``shard_state`` (state -> sharded state) is
     applied once per chunk so a host-resident resume state lands back on the
-    mesh with the right NamedShardings."""
+    mesh with the right NamedShardings.
+
+    ``on_year(monthly)`` streams each year's (months, 5, Y, X) array to the
+    consumer as it lands on the host and the chunk returns ``monthly=None``
+    — the host never holds more than one year (at 768x384 a 50-year chunk
+    would otherwise stage ~3.4 GB; advisor r3).  Without it the full chunk
+    stacks up for on_chunk consumers (fine at reference-size grids)."""
     import jax.numpy as jnp
 
     def run_years(state, corr, co2_chunk):
@@ -132,7 +140,10 @@ def sharded_year_runner(mesh, scnr_sh, sfx_s, md_s, fcconst=None,
             if fcconst is not None:
                 args += (fcconst,)
             state, monthly, _ = scnr_sh(*args)
-            months.append(np.asarray(monthly))
+            if on_year is not None:
+                on_year(np.asarray(monthly))
+            else:
+                months.append(np.asarray(monthly))
         # (years, months, 5, Y, X): every year of the chunk, so on_chunk
         # consumers (output writers) see the full chunk, not just its tail
         return state, (np.stack(months) if months else None)

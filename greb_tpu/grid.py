@@ -84,7 +84,8 @@ class Grid:
 
 def make_grid(xdim: int, ydim: int, dt_crcl: int,
               kappa: float = 8e5, pi: float = 3.1416,
-              max_wind: float | None = None) -> Grid:
+              max_wind: float | None = None,
+              u_rowmax: np.ndarray | None = None) -> Grid:
     """Build grid metrics with reference float32 arithmetic.
 
     kappa and pi must be CONCRETE here (they set static iteration counts);
@@ -101,6 +102,22 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
     silently violate the deep-row contraction criterion 0.35*Ca + 4*ccy
     <= 1 (advisor finding r3).  Callers that know the forcing (model
     build) must pass ``np.abs(uclim).max()``.
+
+    ``u_rowmax`` ((ydim,), m/s) — the forcing's PER-ROW annual max |u|.
+    When given, EXTENSION-MODE advective sub-cycle counts are derived from
+    each row's actual wind bound instead of the 10 m/s design wind
+    (src/greb.f90:838): dda_k = ceil(dt_crcl*u_k/(dxlat_k*ADV_CFL)), which
+    caps the per-iteration advective Courant number at ADV_CFL (0.8)
+    EXACTLY — the winds are a prescribed climatology, so the row max is a
+    true bound.  Two wins: (a) the amplification budget's CA_MAX becomes
+    ADV_CFL by construction (uniform 13 m/s winds measured rho=1.707
+    under the design-wind schedule, tools/specrad.py — wind-aware counts
+    remove that failure mode entirely), and (b) rows with weak polar winds
+    iterate far less (26 -> ~7 extra iterations/substep at 384x192 with
+    the synthetic climatology), which is the dominant schedule cost.
+    Counts are monotonized toward each pole (cummax per hemisphere) so the
+    iterating rows keep the prefix/suffix structure the folded plans
+    require; monotonization only ever DEEPENS a row's count (safe).
     """
     pi = F32(pi)
     kappa = F32(kappa)
@@ -170,14 +187,27 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         # (both ccy = 0.133): max |lambda| <= 1 with ~0.07 deep-row margin.
         U_DESIGN = 10.0          # reference's assumed wind (src/greb.f90:838)
         ADV_CFL = 0.8            # per-iteration advective CFL at U_DESIGN
-        # budget wind: the advective sub-cycle count keeps the
-        # per-iteration CFL at ADV_CFL only for winds <= U_DESIGN; real
-        # winds scale it linearly, so the amplification budget must use
-        # the actual forcing bound (>= the 13 m/s synthetic-wind design
-        # point for backward compatibility when the caller can't know it)
-        wind_bound = max(13.0, float(max_wind)) if max_wind is not None \
-            else 13.0
-        CA_MAX = wind_bound / U_DESIGN * ADV_CFL
+        if u_rowmax is not None:
+            # wind-aware schedule: per-row counts from the forcing's true
+            # row bounds -> per-iteration Courant <= ADV_CFL everywhere,
+            # so the budget's advective amplification is ADV_CFL exactly
+            u_row = np.abs(np.asarray(u_rowmax, np.float64)).reshape(-1)
+            if u_row.shape[0] != ydim:
+                raise ValueError(
+                    f"u_rowmax has {u_row.shape[0]} rows, grid has {ydim}")
+            u_row = np.maximum(u_row, 1e-6)
+            CA_MAX = ADV_CFL
+            wind_bound = float(u_row.max())
+        else:
+            # budget wind: the advective sub-cycle count keeps the
+            # per-iteration CFL at ADV_CFL only for winds <= U_DESIGN; real
+            # winds scale it linearly, so the amplification budget must use
+            # the actual forcing bound (>= the 13 m/s synthetic-wind design
+            # point for backward compatibility when the caller can't know it)
+            wind_bound = max(13.0, float(max_wind)) if max_wind is not None \
+                else 13.0
+            CA_MAX = wind_bound / U_DESIGN * ADV_CFL
+            u_row = np.full(ydim, U_DESIGN)
         CCY_MAX = (1.0 - 0.05 - 0.35 * CA_MAX) / 4.0     # 0.146 at 13 m/s
         if float(ccy_diff) > CCY_MAX:
             raise ValueError(
@@ -199,6 +229,7 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
         t2a = np.zeros(ydim, np.int32)
         s2a = np.zeros(ydim, F32)
         c2a = np.zeros(ydim, F32)
+        dda_raw = np.zeros(ydim, np.int64)
         for k in range(ydim):
             if not polar[k]:
                 continue
@@ -208,8 +239,27 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
             t2d[k] = dd
             s2d[k] = F32(sub)
             c2d[k] = kappa * F32(sub) / (dxlat[k] * dxlat[k])
-            dda = max(1, int(np.ceil(
-                float(dtc) * U_DESIGN / (float(dxlat[k]) * ADV_CFL))))
+            dda_raw[k] = max(1, int(np.ceil(
+                float(dtc) * float(u_row[k]) / (float(dxlat[k]) * ADV_CFL))))
+        # monotonize the advective counts toward each pole (cummax per
+        # hemisphere over the polar rows) so iterating rows stay a
+        # prefix/suffix — the static structure the folded plans require.
+        # Deepening a count only lowers its per-iteration Courant: safe.
+        half = ydim // 2
+        run = 0
+        for k in range(half - 1, -1, -1):
+            if polar[k]:
+                run = max(run, int(dda_raw[k]))
+                dda_raw[k] = run
+        run = 0
+        for k in range(half, ydim):
+            if polar[k]:
+                run = max(run, int(dda_raw[k]))
+                dda_raw[k] = run
+        for k in range(ydim):
+            if not polar[k]:
+                continue
+            dda = int(dda_raw[k])
             suba = dtc / F32(dda)
             t2a[k] = dda
             s2a[k] = F32(suba)

@@ -51,12 +51,16 @@ class GREB:
         self.forcing = forcing
 
         # extension-mode stability budgets must see the real forcing winds
-        # (advisor r3: the 13 m/s design bound was silently assumed)
+        # (advisor r3: the 13 m/s design bound was silently assumed); the
+        # PER-ROW wind bounds additionally derive wind-aware advective
+        # sub-cycle counts (per-iteration Courant <= 0.8 by construction,
+        # and far shallower schedules where polar winds are weak)
+        uabs = np.abs(np.asarray(forcing.uclim))
         self.grid = make_grid(self.num.xdim, self.num.ydim, self.num.dt_crcl,
                               kappa=float(self.params.kappa),
                               pi=float(self.params.pi),
-                              max_wind=float(np.abs(
-                                  np.asarray(forcing.uclim)).max()))
+                              max_wind=float(uabs.max()),
+                              u_rowmax=uabs.max(axis=(0, 2)))
         self.st, sf_np = stc.make_stencil_arrays(self.grid,
                                                  cfg.fidelity_jp2_quirk)
         self.sf = jax.tree.map(jnp.asarray, sf_np)

@@ -85,8 +85,8 @@ def main() -> None:
                             state.cap_surf])[:, None]
 
             def run_my(s5):
-                s5, monthly = runner(s5, ppack, fpack, sw, cpack, corrpack,
-                                     co2y, *fa)
+                s5, monthly, _ = runner(s5, ppack, fpack, sw, cpack,
+                                        corrpack, co2y, *fa)
                 return s5
 
             s5 = run_my(s5)                       # warm

@@ -52,6 +52,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, write the reference README's figure "
                         "set (warming curve, Arctic albedo, dTsurf, inputs) "
                         "as PREFIX_*.png")
+    p.add_argument("--ensemble", type=int, default=0, metavar="M",
+                   help="run an M-member perturbed-physics ensemble batched "
+                        "on one chip (the reference runs one process per "
+                        "member via ens_id, src/greb.f90:1064-1068); each "
+                        "member's monthly records go to output_file_<i>")
+    p.add_argument("--perturb", default="ct_sens=22.05:22.95",
+                   metavar="PARAM=LO:HI",
+                   help="ensemble perturbation: PhysicsParams field swept "
+                        "linearly across members (default ct_sens, +-2%%)")
+    p.add_argument("--mxu-precision", choices=("high", "highest"),
+                   default="high",
+                   help="matmul precision of the ensemble MXU circulation: "
+                        "'high' (bf16_3x passes, ~2^-21 relative error, the "
+                        "throughput default) or 'highest' (exact f32, the "
+                        "single-run fidelity contract; ~25%% slower "
+                        "aggregate)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -94,7 +110,9 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     monthly = diags = None
-    if args.legacy:
+    if args.ensemble > 0:
+        run_ensemble(model, out_path, args)
+    elif args.legacy:
         run_legacy(model, out_path, quiet=args.quiet)
     elif args.checkpoint_dir:
         run_checkpointed(model, out_path, args)
@@ -114,6 +132,77 @@ def main(argv=None) -> int:
         if not args.quiet:
             print("% figures: " + " ".join(paths))
     return 0
+
+
+def run_ensemble(model, out_path: str, args) -> None:
+    """M-member perturbed-physics ensemble on one chip: spin-up + scenario
+    with the member axis batched through the MXU circulation
+    (parallel/ensemble.py), per-member output streams with the reference's
+    ens_id suffix convention (src/greb.f90:1064-1068)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.binio import OutputWriter
+    from .ops import fastcirc2 as fc2
+    from .parallel import ensemble as ens
+
+    M = args.ensemble
+    name, _, rng = args.perturb.partition("=")
+    lo, _, hi = rng.partition(":")
+    try:
+        sweep = np.linspace(float(lo), float(hi), M).astype(np.float32)
+    except ValueError:
+        raise SystemExit(f"bad --perturb spec: {args.perturb!r} "
+                         f"(want PARAM=LO:HI)")
+    if not hasattr(model.params, name):
+        raise SystemExit(f"unknown physics parameter: {name!r}")
+    if not ens.fastcirc_shareable([name]):
+        raise SystemExit(f"{name!r} perturbs the transport operator; "
+                         f"batched ensembles share the folded circulation "
+                         f"tables (see parallel.ensemble)")
+    if not args.quiet:
+        print(f"% ENSEMBLE RUN; members = {M} perturb {name} in "
+              f"[{sweep[0]}, {sweep[-1]}] mxu={args.mxu_precision}")
+
+    pb = ens.perturbed_params(model.params, {name: sweep})
+    md_b = ens.batched_model_data(pb, model.forcing, model.sf)
+    state_b = ens.ensemble_initial_state(
+        pb, model.forcing, ens.ensemble_data(pb, model.forcing, model.sf))
+    plan, fcd = model._fastcirc_split()
+    if fcd is not None:
+        (const,) = fcd
+        fcdata = (const, fc2.build_mxu(const, plan,
+                                       precision=args.mxu_precision,
+                                       mode="stacked"))
+    else:
+        fcdata = None
+    flux_b, scnr_b = ens.make_batched_ensemble_runners(
+        model.st, model.num, model.exp, model.month_mat, fast_plan=plan)
+
+    num = model.num
+    co2_flux = jnp.float32(model.cfg.co2.co2_flux)
+    for _ in range(num.time_flux):
+        state_b, corr_b = flux_b(state_b, model.sfx, co2_flux, md_b, fcdata)
+
+    co2_series = model.cfg.co2.series(num.time_scnr)
+    writers = [OutputWriter(f"{out_path}_{i + 1:03d}", num.xdim, num.ydim)
+               for i in range(M)]
+    year = num.year0
+    for iy in range(num.time_scnr):
+        co2 = jnp.float32(co2_series[iy])
+        state_b, monthly_b, mf_b = scnr_b(state_b, model.sfx, corr_b, co2,
+                                          md_b, fcdata)
+        mon_np = np.asarray(monthly_b)             # (M, nmon, 5, y, x)
+        for i, w in enumerate(writers):
+            w.write_months(mon_np[i])
+        if not args.quiet:
+            gm = np.asarray(mf_b.ts).mean(axis=(1, 2)) - 273.15
+            print(f" {year + 1} {float(co2):10.4f} members "
+                  f"[{gm.min():.4f} .. {gm.max():.4f}] degC")
+        year += 1
+    for w in writers:
+        w.close()
 
 
 def run_legacy(model, out_path: str, quiet: bool = False) -> None:

@@ -82,6 +82,36 @@ class Grid:
     #                               truncates to zero, src/greb.f90:652-653)
 
 
+def joint_symbol_max(cz, nd, ca, na, u, ccy, cav,
+                     n_tx: int = 257, n_ty: int = 65):
+    """max over (tx, ty) of |A(tx)*D(tx) + M(ty)| — the joint Fourier
+    amplification of one SEQUENTIAL-SPLIT extension substep on one row
+    (uniform wz = 1, the worst case; one-sided wind u):
+
+        D = (1 + cz*gz)^nd     zonal diffusion, nd sub-cycles
+        A = (1 + ca*u*ga)^na   zonal advection on the DIFFUSED state
+        M = ccy*gm + cav*gav   meridional (diffusion + advection), additive
+
+    The sequential product A*D is the load-bearing part: the ADDITIVE form
+    (reference structure, src/greb.f90:546-550) is NOT a contraction at
+    deep-subcycled rows — the iterated advective increment (1+s)^na - 1
+    rotates to modulus ~1.5 before upwind dissipation kills it, while the
+    deep diffusion annihilates exactly those modes in the product (decay
+    exponent ~ 17.6*kappa/(dt_crcl*u^2) at the pi/2-rotation mode).  See
+    tests/test_extension_stability.py."""
+    tx = np.linspace(0.0, np.pi, n_tx)
+    ty = np.linspace(0.0, np.pi, n_ty)
+    gz = (6 * np.cos(tx) + 4 * np.cos(2 * tx) + 2 * np.cos(3 * tx)
+          - 12.0) / 20.0
+    ez = lambda s: np.exp(-1j * s * tx)
+    ga = (ez(3) + 3 * ez(2) + 6 * ez(1) - 10.0) / 20.0
+    ey = lambda s: np.exp(-1j * s * ty)
+    m_sym = ccy * (2 * np.cos(ty) - 2.0) + cav * (ey(2) + ey(1) - 2.0)
+    d_sym = (1.0 + cz * gz) ** nd
+    a_sym = (1.0 + ca * u * ga) ** na
+    return float(np.abs((a_sym * d_sym)[:, None] + m_sym[None, :]).max())
+
+
 def make_grid(xdim: int, ydim: int, dt_crcl: int,
               kappa: float = 8e5, pi: float = 3.1416,
               max_wind: float | None = None,
@@ -264,6 +294,32 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
             t2a[k] = dda
             s2a[k] = F32(suba)
             c2a[k] = F32(suba) / dxlat[k] / F32(2.0)
+        # --- numerical joint-symbol verification (the enforced criterion) --
+        # Extension substeps use SEQUENTIAL zonal splitting (advection on
+        # the diffused state; ops/fastcirc.FastPlan.seq_zonal), whose joint
+        # symbol A*D + M is computed here per row at the row's wind bound.
+        # Exceeding 1 means the linearized substep amplifies some mode —
+        # refuse rather than integrate garbage (the r2/r3 blow-ups were
+        # exactly such modes; tests/test_extension_stability.py).
+        cav = float(dtc) / float(dyy) / 2.0 * 15.0     # meridional wind bound
+        worst, worst_k = 0.0, -1
+        for k in range(ydim):
+            if not polar[k]:
+                continue
+            lam = joint_symbol_max(float(c2d[k]), int(t2d[k]),
+                                   float(c2a[k]), int(t2a[k]),
+                                   float(u_row[k]) if u_rowmax is not None
+                                   else wind_bound,
+                                   float(ccy_diff), cav)
+            if lam > worst:
+                worst, worst_k = lam, k
+        if worst > 1.0 + 1e-6:
+            raise ValueError(
+                f"grid {xdim}x{ydim} dt_crcl={dt_crcl}: extension substep "
+                f"amplifies (max |lambda| = {worst:.3f} at row {worst_k}, "
+                f"wind bound {wind_bound:.1f} m/s) — reduce dt_crcl or the "
+                f"forcing winds (see grid.joint_symbol_max)")
+
         diff_sched = PolarSchedule(time2=t2d, dtdff2=s2d, ccx2=c2d,
                                    max_iter=int(t2d.max(initial=0)))
         adv_sched = PolarSchedule(time2=t2a, dtdff2=s2a, ccx2=c2a,

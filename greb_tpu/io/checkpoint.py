@@ -95,6 +95,14 @@ class Checkpointer:
 
     def save(self, step: int, state: ModelState, corr: Corrections,
              cursor: RunCursor) -> None:
+        """Snapshot to host (synchronous, so the caller may mutate state
+        freely afterwards) and commit ASYNCHRONOUSLY under orbax: the file
+        write overlaps the next chunk's device work, fenced at the next
+        save (VERDICT r3 task 6 — the old unconditional wait serialized
+        ~10%% of the 1000-yr run).  Orbax commits atomically (tmp dir +
+        rename), so a crash mid-write resumes from the previous complete
+        checkpoint.  Call ``wait_until_finished`` before process exit (the
+        long-run driver does)."""
         if self._mgr is not None:
             payload = {
                 "state": {k: np.asarray(getattr(state, k))
@@ -107,13 +115,18 @@ class Checkpointer:
                            "co2": cursor.co2},
             }
             self._mgr.save(step, args=self._ocp.args.StandardSave(payload))
-            self._mgr.wait_until_finished()
         else:
             save_checkpoint(os.path.join(self.dir, f"ckpt_{step:06d}"),
                             state, corr, cursor)
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save is durably committed."""
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
         if self._mgr is not None:
+            self._mgr.wait_until_finished()      # surface any pending save
             return self._mgr.latest_step()
         if not os.path.isdir(self.dir):
             return None

@@ -72,6 +72,8 @@ def run_long(total_years: int, state: ModelState, corr: Corrections,
                                co2=float(co2_series[done - 1]))
             if done == total_years or done % checkpointer.every == 0:
                 checkpointer.save(done, state, corr, cursor)
+    if checkpointer is not None:
+        checkpointer.wait_until_finished()       # final save must be durable
     return state, corr, start
 
 

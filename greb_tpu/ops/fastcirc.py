@@ -94,6 +94,20 @@ class FastPlan:
     # the bottom band)
     comp_kt: int = 0
     comp_kb: int = 0
+    # EXTENSION grids: apply zonal advection to the zonally-DIFFUSED state
+    # (sequential splitting) instead of adding both increments from the
+    # same state.  The additive form's joint Fourier symbol is NOT a
+    # contraction at deep-subcycled rows: the iterated advective increment
+    # (1+s)^na - 1 rotates to magnitude ~1.5 before the per-iteration
+    # upwind dissipation kills it (measured max|lambda| ~ 1.98 at 384x192
+    # row 0 even at the 10 m/s design wind), while the sequential product
+    # A*D is contractive because the deep diffusion annihilates exactly
+    # the modes where the advective iterate rotates (decay exponent
+    # ~ 17.6*kappa/(dt_crcl*u^2) >> 1 for practical winds).  Verified
+    # numerically per-row at build time (grid.make_grid) and in
+    # tests/test_extension_stability.py.  Reference-envelope grids keep
+    # the reference's additive form (src/greb.f90:546-550) bit-for-bit.
+    seq_zonal: bool = False
 
     @property
     def diff_composite(self) -> bool:
@@ -212,11 +226,15 @@ def build_composites(pdc64: np.ndarray, n_extra: np.ndarray, plan: "FastPlan",
     diffusion row operator, for the comp_kt top-prefix + comp_kb
     bottom-suffix band rows.  pdc64: (7, F, B, X) float64 row coefficients
     (shifted-wz folded, no outer wz).  Shared by the v1 and v2 folds."""
-    pcomp = np.zeros((F, 1, X, X), F32)
-    pcu = np.zeros((F, 1, X, 1), F32)
-    pcw = np.zeros((F, 1, 1, X), F32)
-    ktc, kbc = plan.comp_kt, plan.comp_kb
-    K = ktc + kbc
+    return _build_composites_impl(pdc64, n_extra, plan, F, B, X)
+
+
+def composite_mats(pdc64: np.ndarray, n_extra: np.ndarray, ktc: int, kbc: int,
+                   F: int, B: int, X: int):
+    """Float64 composite operators (I + C_row)^n_extra for the ktc
+    top-prefix + kbc bottom-suffix band rows.  Returns (rows_fb, {(f, b):
+    (X, X) float64}).  Shared by the dense/lowrank forms (below) and the
+    packed block-diagonal form (fastcirc2.build_packed_composites)."""
     rows_fb = ([(f, b) for f in range(F) for b in range(ktc)]
                + [(f, b) for f in range(F) for b in range(B - kbc, B)])
     jout = np.arange(X)
@@ -228,6 +246,17 @@ def build_composites(pdc64: np.ndarray, n_extra: np.ndarray, plan: "FastPlan",
             C[(jout - s) % X, jout] += pdc64[i, f, b]
         pc64[(f, b)] = np.linalg.matrix_power(
             np.eye(X) + C, int(n_extra[b]))
+    return rows_fb, pc64
+
+
+def _build_composites_impl(pdc64: np.ndarray, n_extra: np.ndarray,
+                           plan: "FastPlan", F: int, B: int, X: int):
+    pcomp = np.zeros((F, 1, X, X), F32)
+    pcu = np.zeros((F, 1, X, 1), F32)
+    pcw = np.zeros((F, 1, 1, X), F32)
+    ktc, kbc = plan.comp_kt, plan.comp_kb
+    K = ktc + kbc
+    rows_fb, pc64 = composite_mats(pdc64, n_extra, ktc, kbc, F, B, X)
     if plan.comp_mode == "dense":
         pcomp = np.zeros((F, K, X, X))
         for f, b in rows_fb:
@@ -321,6 +350,7 @@ def make_plan(grid: Grid) -> FastPlan:
                    if bt + bb else ()),
         adv_segs=_segments(a2[top], a2[bot]) if bt + bb else (),
         comp_mode=mode, comp_kt=comp_kt, comp_kb=comp_kb,
+        seq_zonal=bool(grid.extension_mode),
     )
 
 
@@ -356,6 +386,12 @@ def build_const(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
     these constants and the step's winds; nothing per-step is stored.
     ``include_advection=False`` zeroes the advective multipliers (legacy
     log_exp 8 vapor-diffusion-only)."""
+    if grid.extension_mode:
+        # the v1 fold assembles advection INTO the shared zc coefficient
+        # planes (step_coeffs), which cannot express the sequential zonal
+        # splitting extension grids require (FastPlan.seq_zonal)
+        raise ValueError("fastcirc v1 does not support extension-mode "
+                         "grids; use fastcirc_version=2 (ops/fastcirc2)")
     if plan is None:
         plan = make_plan(grid)
     Y, X = plan.ydim, plan.xdim

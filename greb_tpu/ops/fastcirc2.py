@@ -72,8 +72,15 @@ class Fast2Const:
     wz: jax.Array       # (F, Y, X) outer diffusion weight
     band: jax.Array     # (Y, 1) bool — rows whose zonal increments clamp
     pcomp: jax.Array    # composites, as in v1.FastConst
-    pcu: jax.Array
-    pcw: jax.Array
+    pcu: jax.Array      # lowrank: (F, K, X, r);  PACKED: (X, Rtot) U_all
+    pcw: jax.Array      # lowrank: (F, K, r, X);  PACKED: (Rtot, X) W_all
+    # PACKED composites only ("packed" comp_mode): (F*K, Rtot) 0/1 block-
+    # diagonal mask — block b = (f*K + k) owns the column range of its own
+    # SVD factors, so   t2 = ((T @ pcu) * pmask) @ pcw   computes every
+    # row's composite in TWO plain 2-D matmuls (MXU- and Mosaic-friendly;
+    # per-row ADAPTIVE ranks concatenate along Rtot with no padding waste).
+    # Zero-masked cross terms contribute exact f32 zeros.
+    pmask: jax.Array = None
 
 
 # number of (Y, X) coefficient planes per transported field in Fast2Const
@@ -122,10 +129,45 @@ def step_coeffs(u: jax.Array, v: jax.Array, const: Fast2Const,
 # ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
+def build_packed_composites(pdc64: np.ndarray, n_extra: np.ndarray,
+                            ktc: int, kbc: int, F: int, B: int, X: int,
+                            tol: float = v1.LOWRANK_TOL):
+    """Block-diagonal PACKED SVD composites: per-(field,row) adaptive-rank
+    factors concatenated along one axis, so the whole composite block
+    applies as two plain 2-D matmuls plus a 0/1 mask (see Fast2Const.pmask).
+    Replaces the per-row lowrank loop (56 small dots/substep at 384x192)
+    with MXU-shaped work on both the XLA and Pallas paths.
+
+    Returns (U_all (X, Rtot) f32, W_all (Rtot, X) f32, mask (F*K, Rtot))."""
+    rows_fb, pc64 = v1.composite_mats(pdc64, n_extra, ktc, kbc, F, B, X)
+    K = ktc + kbc
+    # block order matches the apply's reshape (..., F, K, X) -> (F*K, X):
+    # f-major, top-prefix rows then bottom-suffix rows
+    ublocks, wblocks, ranks = [], [], []
+    for f in range(F):
+        for k in range(K):
+            b = k if k < ktc else B - K + k
+            uu, s, vt = np.linalg.svd(pc64[(f, b)])
+            r = max(1, int((s > tol * s[0]).sum()))
+            ublocks.append(uu[:, :r] * s[:r])
+            wblocks.append(vt[:r])
+            ranks.append(r)
+    rtot = sum(ranks)
+    u_all = np.concatenate(ublocks, axis=1).astype(F32)        # (X, Rtot)
+    w_all = np.concatenate(wblocks, axis=0).astype(F32)        # (Rtot, X)
+    mask = np.zeros((F * K, rtot), F32)
+    off = 0
+    for i, r in enumerate(ranks):
+        mask[i, off:off + r] = 1.0
+        off += r
+    return u_all, w_all, mask
+
+
 def build_const(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
                 st: stc.StencilStatic, kappa: float,
                 plan: Optional[FastPlan] = None,
                 include_advection: bool = True,
+                with_composites: bool = True,
                 ) -> Tuple[FastPlan, Fast2Const]:
     """Precompute the uniform constant coefficient fields (float64 builds,
     float32 results), algebraically regrouping the reference formulas
@@ -209,16 +251,28 @@ def build_const(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
     mer[_MA0P] = ap * (wzp1 + wzp2)
 
     # --- composites of the extra diffusion iterations ------------------------
+    import dataclasses
     B = plan.nband
-    if B and plan.diff_composite:
+    pcomp = np.zeros((1, 1, 1, 1), F32)
+    pcu = np.zeros((1, 1, 1, 1), F32)
+    pcw = np.zeros((1, 1, 1, 1), F32)
+    pmask = np.zeros((1, 1), F32)
+    if B and plan.diff_composite and with_composites:
         bidx = np.r_[np.arange(plan.bt), np.arange(Y - plan.bb, Y)]
         pdc64 = zd[:, :, bidx, :]                   # (7, F, B, X)
         n_extra = np.asarray(grid.diff_sched.time2)[bidx] - 1
-        pcomp, pcu, pcw = v1.build_composites(pdc64, n_extra, plan, F, B, X)
-    else:
-        pcomp = np.zeros((F, 1, X, X), F32)
-        pcu = np.zeros((F, 1, X, 1), F32)
-        pcw = np.zeros((F, 1, 1, X), F32)
+        if plan.comp_mode == "lowrank":
+            pcu, pcw, pmask = build_packed_composites(
+                pdc64, n_extra, plan.comp_kt, plan.comp_kb, F, B, X)
+            plan = dataclasses.replace(plan, comp_mode="packed")
+        else:
+            pcomp, pcu, pcw = v1.build_composites(pdc64, n_extra, plan,
+                                                  F, B, X)
+    elif not with_composites:
+        # caller builds its own composites (build_sharded) — skip the SVD
+        # pass, the dominant build cost at refined grids
+        plan = dataclasses.replace(plan, comp_mode="none",
+                                   comp_kt=0, comp_kb=0)
 
     band = np.zeros((Y, 1), bool)
     band[:plan.bt] = True
@@ -229,7 +283,8 @@ def build_const(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
         zd=jnp.asarray(zd.astype(F32)), zam=jnp.asarray(zam.astype(F32)),
         mer=jnp.asarray(mer.astype(F32)),
         wz=jnp.asarray(wz2.astype(F32)), band=jnp.asarray(band),
-        pcomp=jnp.asarray(pcomp), pcu=jnp.asarray(pcu), pcw=jnp.asarray(pcw))
+        pcomp=jnp.asarray(pcomp), pcu=jnp.asarray(pcu), pcw=jnp.asarray(pcw),
+        pmask=jnp.asarray(pmask))
     return plan, const
 
 
@@ -275,6 +330,50 @@ def _row_dot(t_row: jax.Array, f: int, k: int, const: Fast2Const,
     return out.reshape(lead + (out.shape[-1],))
 
 
+def _packed_comp(x, dd, const: Fast2Const, plan: FastPlan):
+    """Packed block-diagonal composite application (comp_mode "packed"):
+    gather the composite rows, run t2 = ((T @ U_all) * mask) @ W_all as two
+    2-D f32-HIGHEST matmuls, clamp once against the composite result
+    (src/greb.f90:715 semantics, as in the per-row forms)."""
+    Y = plan.ydim
+    ktc, kbc = plan.comp_kt, plan.comp_kb
+    X = x.shape[-1]
+    xs = []
+    if ktc:
+        xs.append(x[..., :ktc, :])
+    if kbc:
+        xs.append(x[..., Y - kbc:, :])
+    x_slab = jnp.concatenate(xs, axis=-2) if len(xs) > 1 else xs[0]
+    ds = []
+    if ktc:
+        ds.append(dd[..., :ktc, :])
+    if kbc:
+        ds.append(dd[..., Y - kbc:, :])
+    d_slab = jnp.concatenate(ds, axis=-2) if len(ds) > 1 else ds[0]
+    t1 = x_slab + d_slab                              # (..., F, K, X)
+    lead = t1.shape[:-3]
+    fk = t1.shape[-3] * t1.shape[-2]
+    flat = t1.reshape(lead + (fk, X))
+    rtot = const.pcu.shape[-1]
+    z = jnp.dot(flat.reshape((-1, X)), const.pcu,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    z = z.reshape(lead + (fk, rtot)) * const.pmask
+    t2 = jnp.dot(z.reshape((-1, rtot)), const.pcw,
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    t2 = t2.reshape(lead + (fk, X)).reshape(t1.shape)
+    t1 = t1 + v1._clamped(t2 - t1, t1)
+    dcomp = t1 - x_slab
+    segs = []
+    if ktc:
+        segs.append(dcomp[..., :ktc, :])
+    segs.append(dd[..., ktc:Y - kbc, :])
+    if kbc:
+        segs.append(dcomp[..., ktc:, :])
+    return jnp.concatenate(segs, axis=-2)
+
+
 def _extra_diffusion(x, dd, const: Fast2Const, plan: FastPlan):
     """Extra sub-cycle iterations for rows with diffusion time2 > 1: explicit
     prefix/suffix slices (diff_segs, offset past the composite rows) plus
@@ -304,6 +403,8 @@ def _extra_diffusion(x, dd, const: Fast2Const, plan: FastPlan):
 
     if not plan.diff_composite:
         return dd
+    if plan.comp_mode == "packed":
+        return _packed_comp(x, dd, const, plan)
     lowrank = plan.comp_mode == "lowrank"
     F = const.wz.shape[-3]
 
@@ -442,16 +543,20 @@ def mxu_substep(x: jax.Array, cf: Fast2Coeffs, za_mat: jax.Array,
     dd = _row_matmul(x, mxu.zd_mat, mxu.precision)
     dd = _masked_clamp(dd, x, const.band)
     dd = _extra_diffusion(x, dd, const, plan)
-    da = _row_matmul(x, za_mat, mxu.precision)
-    da = _masked_clamp(da, x, const.band)
-    da = _extra_advection(x, da, cf, plan)
+    if plan.seq_zonal:
+        xa = x + const.wz * dd      # sequential splitting (extension grids)
+    else:
+        xa = x
+    da = _row_matmul(xa, za_mat, mxu.precision)
+    da = _masked_clamp(da, xa, const.band)
+    da = _extra_advection(xa, da, cf, plan)
     xe = extend_lat_zero(x, 2)
     dy = cf.c0m * x
     dy = dy + cf.mc[0] * xe[..., 0:Y, :]
     dy = dy + cf.mc[1] * xe[..., 1:Y + 1, :]
     dy = dy + cf.mc[2] * xe[..., 3:Y + 3, :]
     dy = dy + cf.mc[3] * xe[..., 4:Y + 4, :]
-    return x + const.wz * dd + da + dy
+    return xa + da + dy if plan.seq_zonal else x + const.wz * dd + da + dy
 
 
 def _band_zonal(xs, zd_seg, za_seg):
@@ -467,6 +572,8 @@ def _band_comp(xs, dd, const: Fast2Const, plan: FastPlan, top: bool):
     """Slab-relative composite rows (the deep sub-cycled pole rows) of the
     top/bottom band slab — mirrors _extra_diffusion.comp_rows with the
     global row indices mapped into the slab."""
+    assert plan.comp_mode in ("dense", "lowrank"), \
+        "fused-mode band slabs do not support packed composites"
     ktc, kbc = plan.comp_kt, plan.comp_kb
     n = ktc if top else kbc
     if n == 0:
@@ -586,7 +693,13 @@ def mxu_circulation(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const,
                     unroll=False) -> jax.Array:
     """Sub-cycled circulation increment, MXU formulation (large batches)."""
     za_mat = adv_matrix(cf.za, mxu)
-    if mxu.mode == "fused":
+    if plan.seq_zonal:
+        # sequential zonal splitting: advection's input depends on the
+        # diffusion result, so the stacked/fused single-matmul forms do not
+        # apply — use the pair form regardless of mode (extension-grid
+        # ensembles are not a production config; correctness first)
+        step = lambda xc: mxu_substep(xc, cf, za_mat, const, mxu, plan)
+    elif mxu.mode == "fused":
         zc_mat = za_mat + mxu.zd_mat * const.wz[:, :, None, :]
         step = lambda xc: mxu_substep_fused(xc, cf, zc_mat, const, mxu,
                                             plan)
@@ -658,6 +771,8 @@ class ShardPlan:
     # the shard-local applies; the math is identical either way (the halo
     # feeds only the meridional pass), so this is purely a scheduling hint
     overlap_halo: bool = True
+    # sequential zonal splitting on extension grids (see FastPlan.seq_zonal)
+    seq_zonal: bool = False
 
     @property
     def rloc(self) -> int:
@@ -777,7 +892,8 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
     kt_g, kb_g = geo.kt_g, geo.kb_g
     kct, kcb, K, mode = geo.kct, geo.kcb, geo.K, geo.comp_mode
     plan, const = build_const(wz_air, wz_vapor, grid, st, kappa,
-                              include_advection=include_advection)
+                              include_advection=include_advection,
+                              with_composites=False)
     d2 = np.asarray(grid.diff_sched.time2)
     a2 = np.asarray(grid.adv_sched.time2)
 
@@ -841,7 +957,8 @@ def build_sharded(wz_air: np.ndarray, wz_vapor: np.ndarray, grid: Grid,
 
     splan = ShardPlan(ydim=Y, xdim=X, n_shards=n_shards, kct=kct, kcb=kcb,
                       lat=lat, lab=lab, la_levels=la_levels, comp_mode=mode,
-                      overlap_halo=overlap_halo)
+                      overlap_halo=overlap_halo,
+                      seq_zonal=bool(grid.extension_mode))
     sconst = Fast2ShardConst(
         zd=const.zd, zam=const.zam, mer=const.mer, wz=const.wz,
         band=const.band, amask=jnp.asarray(amask),
@@ -947,9 +1064,15 @@ def sharded_substep(x, cf: Fast2Coeffs, const: Fast2ShardConst,
     dd = _apply7_rolled(rolls, x, const.zd)
     dd = _masked_clamp(dd, x, const.band)
     dd = _sharded_extra_diffusion(x, dd, const, splan)
-    da = _apply7_rolled(rolls, x, cf.za)
-    da = _masked_clamp(da, x, const.band)
-    da = _sharded_extra_advection(x, da, cf, const.amask, splan)
+    if splan.seq_zonal:
+        # sequential zonal splitting on extension grids (FastPlan.seq_zonal)
+        xa = x + const.wz * dd
+        rolls_a = [jnp.roll(xa, s, axis=-1) for _, s in _LON_IDX_SHIFT]
+    else:
+        xa, rolls_a = x, rolls
+    da = _apply7_rolled(rolls_a, xa, cf.za)
+    da = _masked_clamp(da, xa, const.band)
+    da = _sharded_extra_advection(xa, da, cf, const.amask, splan)
     if xe is None:
         xe = extend(x, 2)
     dy = cf.c0m * x
@@ -957,6 +1080,8 @@ def sharded_substep(x, cf: Fast2Coeffs, const: Fast2ShardConst,
     dy = dy + cf.mc[1] * xe[..., 1:R + 1, :]
     dy = dy + cf.mc[2] * xe[..., 3:R + 3, :]
     dy = dy + cf.mc[3] * xe[..., 4:R + 4, :]
+    if splan.seq_zonal:
+        return xa + da + dy
     return x + const.wz * dd + da + dy
 
 
@@ -982,7 +1107,11 @@ def sharded_circulation(x, cf: Fast2Coeffs, const: Fast2ShardConst,
 
 def substep(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const, plan: FastPlan,
             extend: Callable = extend_lat_zero) -> jax.Array:
-    """One dt_crcl circulation substep on the (..., F, Y, X) stacked field."""
+    """One dt_crcl circulation substep on the (..., F, Y, X) stacked field.
+
+    With ``plan.seq_zonal`` (extension grids) the zonal advection reads the
+    zonally-DIFFUSED state (sequential splitting; see FastPlan.seq_zonal);
+    reference-envelope grids keep the reference's additive increments."""
     Y = x.shape[-2]
     rolls = [jnp.roll(x, s, axis=-1) for _, s in _LON_IDX_SHIFT]
     band = const.band
@@ -993,11 +1122,18 @@ def substep(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const, plan: FastPlan,
     dd = _extra_diffusion(x, dd, const, plan)
 
     # zonal advection (clamped on band rows)
-    da = _apply7_rolled(rolls, x, cf.za)
-    da = _masked_clamp(da, x, band)
-    da = _extra_advection(x, da, cf, plan)
+    if plan.seq_zonal:
+        xa = x + const.wz * dd
+        rolls_a = [jnp.roll(xa, s, axis=-1) for _, s in _LON_IDX_SHIFT]
+    else:
+        xa, rolls_a = x, rolls
+    da = _apply7_rolled(rolls_a, xa, cf.za)
+    da = _masked_clamp(da, xa, band)
+    da = _extra_advection(xa, da, cf, plan)
 
-    # meridional diffusion+advection, merged (never clamped)
+    # meridional diffusion+advection, merged (never clamped; reads the
+    # substep's initial state — the additive meridional term M of the
+    # stability model)
     xe = extend(x, 2)
     dy = cf.c0m * x
     dy = dy + cf.mc[0] * xe[..., 0:Y, :]        # km2
@@ -1005,6 +1141,8 @@ def substep(x: jax.Array, cf: Fast2Coeffs, const: Fast2Const, plan: FastPlan,
     dy = dy + cf.mc[2] * xe[..., 3:Y + 3, :]    # kp1
     dy = dy + cf.mc[3] * xe[..., 4:Y + 4, :]    # kp2
 
+    if plan.seq_zonal:
+        return xa + da + dy
     return x + const.wz * dd + da + dy
 
 

@@ -108,14 +108,19 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
                          sf_np: stc.StencilFields, num: Numerics,
                          exp: Experiment, n_years: int, n_members: int,
                          mb: int = 1, fastcirc=None, interpret: bool = False,
-                         circ_unroll: int = 1):
+                         circ_unroll: int = 1, max_sb: int = 2):
     """Returns fn(state5 (5,M,y,x), ppack (M,P), fpack, sw, cpack,
     corrpack (M,t,3,y,x), co2_years (n_years,)) ->
-    (final_state (5,M,y,x), monthly (M, n_years*12, 5, y, x))."""
+    (final_state (5,M,y,x), monthly (M, n_years*12, 5, y, x)).
+
+    ``max_sb=1`` halves the kernel body (one step per grid iteration) —
+    required at refined grids, where the two-step body's scoped-VMEM
+    stack exceeds what the chip can give Mosaic."""
+    sf_np = yk.strip_itm(sf_np, fastcirc)
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
     M = n_members
     assert M % mb == 0, "member count must divide into member blocks"
-    SB = month_aligned_sb(num)
+    SB = month_aligned_sb(num, max_sb=max_sb)
     spy_b = t_steps // SB
     n_tb = n_years * spy_b
     nmon = len(num.jday_mon)
@@ -137,7 +142,7 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
             fc_t = (plan, fast_rebuild(rest[:n_fast]))
         else:
             fc_t = None
-        out_state_ref, mon_out_ref, s_scr = rest[n_fast:]
+        out_state_ref, mon_out_ref, amean_ref, s_scr = rest[n_fast:]
         tb = pl.program_id(1)
 
         @pl.when(tb == 0)
@@ -147,6 +152,10 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
         @pl.when(mst_ref[tb % spy_b] == 1)
         def _():
             mon_out_ref[...] = jnp.zeros(mon_out_ref.shape, mon_out_ref.dtype)
+
+        @pl.when(tb % spy_b == 0)
+        def _():
+            amean_ref[...] = jnp.zeros(amean_ref.shape, amean_ref.dtype)
 
         params, (cap_ocean, cap_land, cap_air) = _params_from_ppack(
             ppack_ref[...])
@@ -171,6 +180,12 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
                            axis=1)                       # (MB, 5, y, x)
             w = w_ref[(tb % spy_b) * SB + i]
             mon_out_ref[:, 0] = mon_out_ref[:, 0] + w * f5
+            # annual sums of all 9 console fields, sequential f32 exactly
+            # like the per-year kernel (reference src/greb.f90:944-948) —
+            # both driver paths print identical diagnostics
+            f9 = jnp.stack([getattr(outs, f)
+                            for f in core.StepOutputs._fields], axis=1)
+            amean_ref[:, 0] = amean_ref[:, 0] + f9
         for i, f in enumerate(("ts", "ta", "to", "q", "cap_surf")):
             s_scr[i] = getattr(state, f)
 
@@ -203,6 +218,8 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
                 (mb, 1, 5, y, x),
                 lambda m, t, co2y, mon, mst, w: (
                     m, (t // spy_b) * nmon + mon[t % spy_b], 0, 0, 0)),
+            pl.BlockSpec((mb, 1, 9, y, x),
+                         lambda m, t, *s: (m, t // spy_b, 0, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((5, mb, y, x), jnp.float32)],
     )
@@ -213,18 +230,22 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
         out_shape=[
             jax.ShapeDtypeStruct((5, M, y, x), jnp.float32),
             jax.ShapeDtypeStruct((M, n_years * nmon, 5, y, x), jnp.float32),
+            jax.ShapeDtypeStruct((M, n_years, 9, y, x), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # see year_kernel: refined-grid substep intermediates
+            # exceed the default 16 MiB scoped-vmem stack
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )
 
     def run(state5, ppack, fpack, sw, cpack, corrpack, co2_years, *fast_args):
         co2_years = jnp.asarray(co2_years, jnp.float32)
-        out_state, monthly = call(co2_years, mon_map, mstart, wstep,
-                                  state5, ppack, fpack, sw, cpack, sfpack,
-                                  corrpack, *fast_args)
-        return out_state, monthly
+        out_state, monthly, asum = call(co2_years, mon_map, mstart, wstep,
+                                        state5, ppack, fpack, sw, cpack,
+                                        sfpack, corrpack, *fast_args)
+        return out_state, monthly, asum
 
     return run
 
@@ -239,6 +260,7 @@ def build_fluxcorr_years(md: core.ModelData, st: stc.StencilStatic,
     One call integrates ONE year (the reference re-learns the 730-slot
     tables each spin-up year, so the caller loops time_flux times;
     src/greb.f90:325-362)."""
+    sf_np = yk.strip_itm(sf_np, fastcirc)
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
     M = n_members
     assert M % mb == 0
@@ -321,7 +343,10 @@ def build_fluxcorr_years(md: core.ModelData, st: stc.StencilStatic,
             jax.ShapeDtypeStruct((M, t_steps, 3, y, x), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # see year_kernel: refined-grid substep intermediates
+            # exceed the default 16 MiB scoped-vmem stack
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )
 

@@ -90,6 +90,23 @@ def pack_stencil_fields(sf_np: stc.StencilFields) -> jax.Array:
     return jnp.asarray(np.stack([np.asarray(a, F32) for a in parts]))
 
 
+def strip_itm(sf_np: stc.StencilFields, fastcirc) -> stc.StencilFields:
+    """Drop the strict path's per-iteration masks when the folded
+    circulation is active — the kernel never touches them, and at
+    extension grids they are (max_iter, Y, 1) stacks with max_iter in the
+    THOUSANDS whose lane-padded VMEM window (x128 on the size-1 last dim)
+    alone exceeds the chip's 128 MiB VMEM."""
+    if fastcirc is None:
+        return sf_np
+    y = sf_np.dxlat2.shape[0]
+    empty = np.zeros((0, y, 1), F32)
+    return stc.StencilFields(
+        dxlat2=sf_np.dxlat2, diff_dtdff2=sf_np.diff_dtdff2,
+        adv_ccx2=sf_np.adv_ccx2, ccx_adv=sf_np.ccx_adv, polar=sf_np.polar,
+        row_mfull=sf_np.row_mfull, row_pfull=sf_np.row_pfull,
+        diff_itm=empty, adv_itm=empty)
+
+
 def _unpack_stencil_fields(sfp_ref, n_diff: int, n_adv: int) -> stc.StencilFields:
     i = 7
     diff_itm = jnp.stack([sfp_ref[i + k] for k in range(n_diff)]) \
@@ -148,15 +165,18 @@ def _fast_pack(fastcirc):
         return (), None
     plan, const = fastcirc
     if isinstance(const, fcirc2.Fast2Const):
+        pmask = (const.pmask if const.pmask is not None
+                 else jnp.zeros((1, 1), jnp.float32))
         arrays = (const.zd, const.zam, const.mer, const.wz,
                   const.band.astype(jnp.float32), const.pcomp, const.pcu,
-                  const.pcw)
+                  const.pcw, pmask)
 
         def rebuild(refs):
-            zd, zam, mer, wz, band, pcomp, pcu, pcw = (r[...] for r in refs)
+            zd, zam, mer, wz, band, pcomp, pcu, pcw, pmask = (
+                r[...] for r in refs)
             return fcirc2.Fast2Const(zd=zd, zam=zam, mer=mer, wz=wz,
                                      band=band > 0.5, pcomp=pcomp,
-                                     pcu=pcu, pcw=pcw)
+                                     pcu=pcu, pcw=pcw, pmask=pmask)
     else:
         arrays = (const.full, const.band, const.pcomp, const.pcu, const.pcw)
 
@@ -200,6 +220,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     single fused kernel.  With ``fastcirc=(FastPlan, FastConst, FastCoeffs)``
     the circulation uses the coefficient-folded path, with the per-step
     coefficient tables streamed HBM->VMEM by the Pallas pipeline."""
+    sf_np = strip_itm(sf_np, fastcirc)
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
     SB = sb if sb and t_steps % sb == 0 else default_sb(t_steps)
     md_c = core.ModelData(params=concrete_params(md.params),
@@ -219,18 +240,21 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     fast_arrays, fast_rebuild = _fast_pack(fastcirc)
     n_fast = len(fast_arrays)
 
+    n_all = len(core.StepOutputs._fields)
+
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                corr_ref, *rest):
         if fastcirc is not None:
             fc_t = (plan, fast_rebuild(rest[:n_fast]))
         else:
             fc_t = None
-        out_state_ref, outs_ref, s_scr = rest[n_fast:]
+        out_state_ref, outs_ref, amean_ref, s_scr = rest[n_fast:]
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             s_scr[...] = state_ref[...]
+            amean_ref[...] = jnp.zeros(amean_ref.shape, amean_ref.dtype)
 
         mdk = _kernel_model_data(cpack_ref, sfp_ref, md_c, n_diff, n_adv)
         co2 = co2_ref[0, 0]
@@ -244,6 +268,12 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
                                              fastcirc=fc_t)
             for j, f in enumerate(core.StepOutputs._fields[:N_OUT]):
                 outs_ref[i, j] = getattr(outs, f)
+            # annual accumulators of ALL 9 console fields, sequential f32
+            # sums exactly like the reference's (src/greb.f90:944-948);
+            # the multi-year kernel accumulates identically, so both
+            # driver paths print the same numbers (VERDICT r3 task 8)
+            for j, f in enumerate(core.StepOutputs._fields):
+                amean_ref[j] = amean_ref[j] + getattr(outs, f)
         _state_to_refs(s_scr, out_state_ref, state)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -263,6 +293,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
         out_specs=[
             pl.BlockSpec((5, y, x), lambda t: (0, 0, 0)),          # final state
             pl.BlockSpec((SB, N_OUT, y, x), lambda t: (t, 0, 0, 0)),  # outs
+            pl.BlockSpec((n_all, y, x), lambda t: (0, 0, 0)),      # annual sums
         ],
         scratch_shapes=[pltpu.VMEM((5, y, x), jnp.float32)],
     )
@@ -273,9 +304,14 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
         out_shape=[
             jax.ShapeDtypeStruct((5, y, x), jnp.float32),
             jax.ShapeDtypeStruct((t_steps, N_OUT, y, x), jnp.float32),
+            jax.ShapeDtypeStruct((n_all, y, x), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # refined grids: the substep intermediates exceed the
+            # default 16 MiB scoped-vmem stack (23 MiB at 384x192);
+            # the chip has 128 MiB of VMEM (measured; PERF.md)
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )
 
@@ -286,12 +322,12 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
         state5 = jnp.stack([state.ts, state.ta, state.to, state.q,
                             state.cap_surf])
         co2s = jnp.full((1, 1), co2, jnp.float32)
-        out_state, outs = call(co2s, state5, fpack, sw, cpack, sfpack,
-                               corrpack, *fast_args)
+        out_state, outs, asum = call(co2s, state5, fpack, sw, cpack, sfpack,
+                                     corrpack, *fast_args)
         new_state = ModelState(ts=out_state[0], ta=out_state[1],
                                to=out_state[2], q=out_state[3],
                                cap_surf=out_state[4])
-        return new_state, outs
+        return new_state, outs, asum
 
     return run
 
@@ -302,6 +338,7 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
                         circ_unroll: int = 1, fastcirc=None):
     """Returns fn(state, fpack, sw, cpack, co2) ->
     (final_state (5,y,x), corr (t, 3, y, x)) — one spin-up year fused."""
+    sf_np = strip_itm(sf_np, fastcirc)
     y, x, t_steps = num.ydim, num.xdim, num.nstep_yr
     md_c = core.ModelData(params=concrete_params(md.params),
                           derived=Derived(
@@ -373,7 +410,11 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
             jax.ShapeDtypeStruct((t_steps, 3, y, x), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # refined grids: the substep intermediates exceed the
+            # default 16 MiB scoped-vmem stack (23 MiB at 384x192);
+            # the chip has 128 MiB of VMEM (measured; PERF.md)
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )
 

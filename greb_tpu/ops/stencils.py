@@ -82,6 +82,11 @@ class StencilStatic:
     polar_top: int = 0      # rows [0, polar_top)
     polar_bot: int = 0      # rows [R - polar_bot, R)
     compact_polar: bool = True
+    # Extension grids: apply zonal advection to the zonally-diffused state
+    # (sequential splitting — see ops/fastcirc.FastPlan.seq_zonal for the
+    # stability rationale); reference-envelope grids keep the additive
+    # reference form (src/greb.f90:546-550) exactly.
+    seq_zonal: bool = False
 
 
 def make_stencil_arrays(grid: Grid, quirk_jp2: bool = True):
@@ -121,6 +126,7 @@ def make_stencil_arrays(grid: Grid, quirk_jp2: bool = True):
         polar_top=kt if contiguous else 0,
         polar_bot=kb if contiguous else 0,
         compact_polar=contiguous,
+        seq_zonal=bool(grid.extension_mode),
     )
     return static, fields
 
@@ -272,8 +278,11 @@ def _assemble_rows(mid: jax.Array, parts, st: StencilStatic) -> jax.Array:
 
 
 def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
-              sf: StencilFields, kappa, extend: Extend = extend_lat_zero) -> jax.Array:
-    """dX_diffuse = wz * (dTx + dTy); reference src/greb.f90:556-723."""
+              sf: StencilFields, kappa, extend: Extend = extend_lat_zero,
+              split: bool = False):
+    """dX_diffuse = wz * (dTx + dTy); reference src/greb.f90:556-723.
+    ``split=True`` returns the raw (dtx, dty) pair instead (the sequential
+    extension-mode substep applies wz to each part separately)."""
     xe = extend(x, 2)
     x_km1, x_kp1 = xe[..., 1:-3, :], xe[..., 3:-1, :]
     dtc = jnp.float32(st.dt_crcl)
@@ -313,13 +322,22 @@ def diffusion(x: jax.Array, wz: jax.Array, pack: WzPack, st: StencilStatic,
                                  pack.lon, ccx2))
             dtx = jnp.where(sf.polar, t1h - x, dtx)
 
+    if split:
+        return dtx, dty
     return wz * (dtx + dty)
 
 
 def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
               st: StencilStatic, sf: StencilFields,
-              extend: Extend = extend_lat_zero) -> jax.Array:
-    """dX_advec = dTx + dTy; reference src/greb.f90:726-915."""
+              extend: Extend = extend_lat_zero,
+              x_zonal: jax.Array = None) -> jax.Array:
+    """dX_advec = dTx + dTy; reference src/greb.f90:726-915.
+
+    ``x_zonal`` (sequential extension-mode substep) supplies a different
+    state for the ZONAL part (the zonally-diffused field); the meridional
+    part always reads ``x`` — mirroring the folded path, whose merged
+    meridional coefficients read the substep's initial state."""
+    xz = x if x_zonal is None else x_zonal
     xe = extend(x, 2)
     x_km1, x_km2 = xe[..., 1:-3, :], xe[..., :-4, :]
     x_kp1, x_kp2 = xe[..., 3:-1, :], xe[..., 4:, :]
@@ -339,14 +357,14 @@ def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
     if st.adv_max_iter > 0 and st.compact_polar:
         R = x.shape[-2]
         mid = slice(st.polar_top, R - st.polar_bot)
-        xm = x[..., mid, :]
+        xm = xz[..., mid, :]
         tsm = lon_shifts(xm, st.xdim, quirk=False)
         dtx = _adv_upwind2(tsm, _rows(pack.lon, mid),
                            u_m[..., mid, :], u_p[..., mid, :],
                            sf.ccx_adv[mid])
         parts = []
         for sl in _band_slices(st, R):
-            xb = x[..., sl, :]
+            xb = xz[..., sl, :]
             wb = _rows(pack.lon, sl)
             ub_m, ub_p = u_m[..., sl, :], u_p[..., sl, :]
             cc2 = sf.adv_ccx2[sl]
@@ -359,16 +377,16 @@ def advection(x: jax.Array, pack: WzPack, u_m, u_p, v_m, v_p,
             parts.append(t1h - xb)
         dtx = _assemble_rows(dtx, parts, st)
     else:
-        ts = lon_shifts(x, st.xdim, quirk=False)
+        ts = lon_shifts(xz, st.xdim, quirk=False)
         dtx = _adv_upwind2(ts, pack.lon, u_m, u_p, sf.ccx_adv)
 
     if st.adv_max_iter > 0 and not st.compact_polar:
         t1h = _subcycle(
-            x, sf.adv_itm, st.adv_max_iter,
+            xz, sf.adv_itm, st.adv_max_iter,
             lambda t: _adv_smooth3(
                 lon_shifts(t, st.xdim, quirk=st.quirk_jp2), pack.lon,
                 u_m, u_p, sf.adv_ccx2, st.quirk_jp2))
-        dtx = jnp.where(sf.polar, t1h - x, dtx)
+        dtx = jnp.where(sf.polar, t1h - xz, dtx)
 
     return dtx + dty
 
@@ -385,6 +403,18 @@ def circulation(x: jax.Array, wz: jax.Array, u_m, u_p, v_m, v_p,
     pack = make_wz_pack(wz, st, extend)
 
     def substep(xc):
+        if st.seq_zonal:
+            # extension grids: zonal advection reads the zonally-diffused
+            # state (sequential splitting; StencilStatic.seq_zonal); the
+            # meridional terms stay additive from xc
+            dtx, dty = diffusion(xc, wz, pack, st, sf, kappa, extend,
+                                 split=True)
+            xz = xc + wz * dtx
+            if include_advection:
+                dxa = advection(xc, pack, u_m, u_p, v_m, v_p, st, sf, extend,
+                                x_zonal=xz)
+                return xz + wz * dty + dxa
+            return xz + wz * dty
         dxd = diffusion(xc, wz, pack, st, sf, kappa, extend)
         if include_advection:
             dxa = advection(xc, pack, u_m, u_p, v_m, v_p, st, sf, extend)

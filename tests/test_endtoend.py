@@ -164,3 +164,40 @@ def test_legacy_control_file_mixed_layout(small_forcing, tmp_path):
     np.testing.assert_array_equal(back[:nrec_monthly], want)
     # and the head is genuinely the overwrite, not the dump
     assert not np.array_equal(back[:nrec_monthly], tf[:nrec_monthly])
+
+
+def test_cli_ensemble_per_member_outputs(small_forcing, tmp_path):
+    """--ensemble M: batched perturbed-physics members write per-member
+    output streams (the reference's ens_id convention, src/greb.f90:
+    1064-1068), members genuinely differ, and the --mxu-precision knob
+    selects the circulation matmul precision (VERDICT r3 task 9)."""
+    import argparse
+
+    from greb_tpu.__main__ import run_ensemble
+    from greb_tpu.io.binio import read_output
+
+    num = Numerics(xdim=SMALL.xdim, ydim=SMALL.ydim, ndays_yr=10,
+                   jday_mon=(6, 4), time_flux=1, time_scnr=2)
+    cfg = GrebConfig(numerics=num, co2=CO2Params(co2_ppm=(680.0,)),
+                     diagnostics=Diagnostics(console=False),
+                     fast_circulation=True)
+    m = GREB(cfg, forcing=small_forcing, verbose=False)
+    out = str(tmp_path / "ens")
+    for prec in ("high", "highest"):
+        args = argparse.Namespace(ensemble=3, perturb="ct_sens=21.0:24.0",
+                                  mxu_precision=prec, quiet=True)
+        run_ensemble(m, out, args)
+        backs = [read_output(f"{out}_{i:03d}", num.xdim, num.ydim)
+                 for i in (1, 2, 3)]
+        for b in backs:
+            assert b.shape == (num.time_scnr * 2, 5, num.ydim, num.xdim)
+            assert np.isfinite(b).all()
+        assert not np.array_equal(backs[0], backs[2])    # perturbed members
+    # bad specs fail with guidance, not tracebacks
+    with pytest.raises(SystemExit, match="perturb"):
+        run_ensemble(m, out, argparse.Namespace(
+            ensemble=2, perturb="ct_sens", mxu_precision="high", quiet=True))
+    with pytest.raises(SystemExit, match="transport"):
+        run_ensemble(m, out, argparse.Namespace(
+            ensemble=2, perturb="kappa=7e5:9e5", mxu_precision="high",
+            quiet=True))

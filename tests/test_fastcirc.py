@@ -172,11 +172,21 @@ def test_refined_grid_substep_matches_strict(fc):
     sf = jax.tree.map(jnp.asarray, sf_np)
     derived = build_derived(params, forcing)
 
+    if fc is fastcirc:
+        # v1 folds advection into shared coefficient planes and cannot
+        # express extension-mode sequential zonal splitting — it refuses
+        with pytest.raises(ValueError, match="fastcirc_version=2"):
+            fc.build_const(np.asarray(derived.wz_air),
+                           np.asarray(derived.wz_vapor),
+                           grid, st, kappa=float(params.kappa))
+        return
+
     plan, const = fc.build_const(
         np.asarray(derived.wz_air), np.asarray(derived.wz_vapor),
         grid, st, kappa=float(params.kappa))
-    assert plan.comp_mode == "lowrank"
+    assert plan.comp_mode == "packed"    # block-diag adaptive-rank SVD form
     assert plan.comp_kt + plan.comp_kb >= 2
+    assert plan.seq_zonal                # extension-mode sequential split
 
     from greb_tpu.forcing import initial_state
     s0 = initial_state(params, forcing, derived)

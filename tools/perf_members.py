@@ -34,12 +34,12 @@ def bench(M, MB, NY):
         fastcirc=m.fastcirc_tables()))
     co2y = jnp.full((NY,), 680.0, jnp.float32)
     args = (ppack, fpack, sw, cpack, corrpack, co2y) + fa
-    s, mon = scnr_k(s5, *args)
+    s, mon, _ = scnr_k(s5, *args)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
     reps = max(1, 20 // NY)
     for _ in range(reps):
-        s, mon = scnr_k(s, *args)
+        s, mon, _ = scnr_k(s, *args)
     jax.block_until_ready(s)
     dt = time.perf_counter() - t0
     r = reps * NY / dt

@@ -45,7 +45,7 @@ scnr_k = my.build_scenario_years(m.md, m.st, m._sf_np, m.num, m.exp,
                                  n_years=NY, n_members=M, mb=MB,
                                  fastcirc=m.fastcirc_tables())
 co2y = jnp.full((NY,), 680.0, jnp.float32)
-s5f, monthly_k = jax.jit(scnr_k)(s5, ppack, fpack, sw, cpack, corrpack, co2y, *fa)
+s5f, monthly_k, _ = jax.jit(scnr_k)(s5, ppack, fpack, sw, cpack, corrpack, co2y, *fa)
 monthly_k = np.asarray(monthly_k)
 print("final ts diff:", np.abs(np.asarray(s5f[0]) - np.asarray(s_x.ts)).max())
 for v, name in [(0,"ts"),(1,"ta"),(2,"to"),(3,"q"),(4,"alb")]:

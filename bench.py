@@ -205,6 +205,7 @@ def main() -> None:
     # fast path runs end-to-end and how it scales with shard count
     n_shard = int(os.environ.get("GREB_BENCH_SHARD", "0"))
     if n_shard > 0:
+        import re
         import subprocess
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    XLA_FLAGS=f"--xla_force_host_platform_device_count={n_shard}")
@@ -215,6 +216,11 @@ def main() -> None:
         out = (r.stdout + r.stderr).strip().splitlines()
         for ln in out[-3:]:
             print(f"# {ln}", file=sys.stderr)
+            # "shard[N] <rate> sim-yr/s grid=XxY" -> JSON configs line
+            # (VERDICT r3 task 10: artifact, not stderr-only)
+            mm = re.match(r"shard\[(\d+)\]\s+([0-9.]+)\s+sim-yr/s", ln)
+            if mm:
+                results[f"shard[{mm.group(1)}]@{grid}"] = float(mm.group(2))
 
     if not results:
         print("# no benchmark mode ran", file=sys.stderr)

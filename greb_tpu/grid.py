@@ -238,18 +238,13 @@ def make_grid(xdim: int, ydim: int, dt_crcl: int,
                 else 13.0
             CA_MAX = wind_bound / U_DESIGN * ADV_CFL
             u_row = np.full(ydim, U_DESIGN)
+        # The enforced stability gate is the NUMERICAL per-row joint-symbol
+        # check below (it provably subsumes the old analytic CCY_MAX gate:
+        # when deep rows annihilate the zonal product A*D, the meridional
+        # term must contract alone, i.e. |ccy*gm + cav*gav| <= 1 — the
+        # check refuses 768x384 at dt_crcl=900/1800 and admits 450-600).
+        # CCY_MAX survives only to shape the zonal per-iteration cap.
         CCY_MAX = (1.0 - 0.05 - 0.35 * CA_MAX) / 4.0     # 0.146 at 13 m/s
-        if float(ccy_diff) > CCY_MAX:
-            raise ValueError(
-                f"grid {xdim}x{ydim}: meridional diffusion CFL "
-                f"ccy={float(ccy_diff):.3f} > {CCY_MAX:.3f} (at max wind "
-                f"{wind_bound:.1f} m/s) is unstable on this refined grid: "
-                f"the deep polar sub-cycles leave no zonal-diffusion "
-                f"damping at the worst mode, so advection + meridional "
-                f"must contract alone (see grid.py).  Reduce dt_crcl in "
-                f"the numerics namelist (dt_crcl <= "
-                f"{int(CCY_MAX * dyy * dyy / float(kappa))} s here; "
-                f"e.g. 450).")
         CZ_CAP = float(np.clip(
             (1.95 - 0.35 * CA_MAX - 4.0 * float(ccy_diff)) / 0.8, 0.4, 1.2))
 

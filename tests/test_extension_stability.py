@@ -102,3 +102,15 @@ def test_make_grid_refuses_past_budget():
         make_grid(768, 384, 900)           # the r3 deep-row blow-up
     with pytest.raises(ValueError, match="dt_crcl"):
         make_grid(384, 192, 2600)          # ccy = 0.19 > CCY_MAX
+
+
+def test_numerical_gate_acceptance_matrix():
+    """The numerical gate admits exactly the symbol-contractive configs:
+    768x384 at dt_crcl 450 AND 600 (the true meridional bound is
+    4*ccy + 2*cav <= 1, not the old analytic CCY_MAX) and refuses
+    900/1800, where deep rows annihilate the zonal product A*D and the
+    meridional term alone exceeds 1 (|lambda| = 1.32 / 2.64)."""
+    assert make_grid(768, 384, 600).extension_mode
+    g = make_grid(768, 384, 600)
+    m = _rows_max(g, np.full(384, 13.0))
+    assert m <= 1.0 + 1e-6, m

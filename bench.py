@@ -150,16 +150,44 @@ def main() -> None:
         gnum = Numerics(xdim=gx, ydim=gy, time_flux=1, time_scnr=3)
         arrs = make_synthetic_forcing(96, 48, gnum.nstep_yr, gnum.ndays_yr)
         gforc = forcing_from_arrays(regrid_forcing_arrays(arrs, gnum))
-        gm = GREB(GrebConfig(numerics=gnum, fast_circulation=True),
+        gm = GREB(GrebConfig(numerics=gnum, use_pallas=True,
+                             fast_circulation=True),
                   forcing=gforc, verbose=False)
-        _, fcdata = gm._fastcirc_split()
         sfc, corr_g = gm.flux_correction()
-        jr = gm._year_scenario(with_outputs=True)
+        rate = None
+        # fused multi-year Pallas kernel — viable at refined grids since the
+        # round-4 VMEM correction (128 MiB/chip, PERF.md); 5.5x the XLA path
+        if gm._pallas_viable() and platform != "cpu":
+            try:
+                gny = max(2, bench_years // 5)
+                runner = gm._multiyear_runner(gny)
+                ppk, fpk, swk, cpk, crk = gm._multiyear_args(corr_g)
+                fag = gm._pallas_fast_args()
+                co2g = jnp.full((gny,), 680.0, jnp.float32)
+                s5 = jnp.stack([sfc.ts, sfc.ta, sfc.to, sfc.q,
+                                sfc.cap_surf])[:, None]
 
-        def run_g(s):
-            return jr(s, gm.sfx, corr_g, co2, gm.md, fcdata)[0]
+                def run_gmy(s5):
+                    s5, _, _ = runner(s5, ppk, fpk, swk, cpk, crk, co2g, *fag)
+                    return s5
 
-        rate = _steady_rate(run_g, sfc, max(3, bench_years // 5))
+                s5 = run_gmy(s5)
+                jax.block_until_ready(s5)
+                t0 = time.perf_counter()
+                s5 = run_gmy(s5)
+                jax.block_until_ready(s5)
+                rate = gny / (time.perf_counter() - t0)
+            except Exception as e:
+                print(f"# grid pallas failed ({type(e).__name__}: {e}); "
+                      f"using xla", file=sys.stderr)
+        if rate is None:
+            _, fcdata = gm._fastcirc_split()
+            jr = gm._year_scenario(with_outputs=True)
+
+            def run_g(s):
+                return jr(s, gm.sfx, corr_g, co2, gm.md, fcdata)[0]
+
+            rate = _steady_rate(run_g, sfc, max(3, bench_years // 5))
         pts = gx * gy * 730 * rate
         print(f"# grid[{gx}x{gy}]: {rate:.2f} sim-yr/s "
               f"({pts / 1e6:.0f} M point-steps/s)", file=sys.stderr)

@@ -150,11 +150,31 @@ class GREB:
 
     # -- fused Pallas year runners (single-model TPU fast path) --------------
     def _pallas_viable(self) -> bool:
-        """The fused year kernel keeps state + streamed blocks + constants in
-        VMEM (~16 MB/core); beyond roughly 128x256 that budget is blown, so
-        refined grids use the XLA path (which the driver falls back to)."""
+        """Estimate the fused year kernel's VMEM working set against the
+        chip's measured 128 MiB budget (PERF.md round-4 correction — round 3
+        assumed ~16 MiB and wrongly gated refined grids onto the XLA path;
+        384x192 actually runs 5.5x faster fused: 4.8 vs 0.87 sim-yr/s).
+
+        Resident concurrently: the state scratch (5), double-buffered
+        streamed blocks (forcing 8 + corr 3 + sw, outs 5 + annual sums 9,
+        all at sb=1 on extension grids), 6 constant planes, the folded-
+        circulation constant tables (counted at their true size), and
+        Mosaic's scoped stack for substep intermediates (~320 B/cell
+        measured: 23 MiB at 384x192)."""
         cells = self.num.ydim * self.num.xdim
-        return cells * 4 * 60 <= 12 * 2 ** 20  # ~60 resident field copies
+        sb = 1 if self.grid.extension_mode else 10
+        base = cells * 4 * (5 + 2 * sb * (8 + 3 + 5 + 9) + 6 + 1)
+        stack = cells * 320
+        budget = 110 * 2 ** 20
+        if base + stack > budget:       # 768x384: over before the tables
+            return False
+        fc = self.fastcirc_tables()
+        if fc is not None:
+            from ..ops.pallas import year_kernel as yk
+            fast = sum(int(np.asarray(a).size) * 4 for a in yk._fast_args(fc))
+        else:
+            fast = cells * 4 * 8
+        return base + fast + stack <= budget
 
     def _pallas_packs(self):
         if self._packs is None:
@@ -184,7 +204,12 @@ class GREB:
             from ..ops.pallas import year_kernel as yk
             run_kernel = yk.build_scenario_year(self.md, self.st, self._sf_np,
                                                 self.num, self.exp,
-                                                fastcirc=self.fastcirc_tables())
+                                                fastcirc=self.fastcirc_tables(),
+                                                # extension grids: one step
+                                                # per grid iteration keeps
+                                                # the streamed blocks small
+                                                sb=1 if self.grid.extension_mode
+                                                else 0)
             month_mat = self.month_mat
 
             nstep = jnp.float32(self.num.nstep_yr)

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="PARAM=LO:HI",
                    help="ensemble perturbation: PhysicsParams field swept "
                         "linearly across members (default ct_sens, +-2%%)")
+    p.add_argument("--shared-spinup", action="store_true",
+                   help="ensemble mode: one BASE-params flux-correction "
+                        "spin-up shared by every member (the standard "
+                        "perturbed-physics-ensemble setup) instead of "
+                        "per-member spin-ups; per-member 40 MB correction "
+                        "tables cap per-member spin-up at M<=256/chip, "
+                        "shared spin-up unlocks M>=512 (PERF.md)")
     p.add_argument("--mxu-precision", choices=("high", "highest"),
                    default="high",
                    help="matmul precision of the ensemble MXU circulation: "
@@ -182,8 +189,19 @@ def run_ensemble(model, out_path: str, args) -> None:
 
     num = model.num
     co2_flux = jnp.float32(model.cfg.co2.co2_flux)
-    for _ in range(num.time_flux):
-        state_b, corr_b = flux_b(state_b, model.sfx, co2_flux, md_b, fcdata)
+    if getattr(args, "shared_spinup", False):
+        # one BASE-params spin-up, shared correction tables (member axis of
+        # size 1 broadcasts through the batched runners) — the standard
+        # perturbed-physics-ensemble configuration; removes the per-member
+        # 40 MB correction tables that cap per-member spin-up at M=256/chip
+        state0, corr0 = model.flux_correction()
+        corr_b = jax.tree.map(lambda a: a[:, None], corr0)
+        state_b = state_b.replace(cap_surf=jnp.broadcast_to(
+            state0.cap_surf[None], (M,) + state0.cap_surf.shape))
+    else:
+        for _ in range(num.time_flux):
+            state_b, corr_b = flux_b(state_b, model.sfx, co2_flux, md_b,
+                                     fcdata)
 
     co2_series = model.cfg.co2.series(num.time_scnr)
     writers = [OutputWriter(f"{out_path}_{i + 1:03d}", num.xdim, num.ydim)

@@ -74,6 +74,26 @@ def regrid_field(a: np.ndarray, x_dst: int, y_dst: int,
     return out.astype(F32)
 
 
+def coarsen_field(a: np.ndarray, x_dst: int, y_dst: int) -> np.ndarray:
+    """Area-weighted box average of (..., y, x) onto a coarser grid whose
+    dims divide the source dims (cell-center grids nest exactly when the
+    refinement factor is an integer).  Weights are cos(lat) of the fine
+    rows, i.e. spherical cell area — the right operator for comparing a
+    refined-grid solution against a coarse-grid one (cross-grid climate
+    consistency, tests/test_xgrid_consistency.py)."""
+    a = np.asarray(a, np.float64)
+    y_src, x_src = a.shape[-2], a.shape[-1]
+    fy, fx = y_src // y_dst, x_src // x_dst
+    assert fy * y_dst == y_src and fx * x_dst == x_src, \
+        f"{y_src}x{x_src} does not coarsen onto {y_dst}x{x_dst}"
+    lat = _centers(y_src, 180.0, -90.0)
+    w = np.cos(np.deg2rad(lat)).reshape(y_dst, fy)
+    blocks = a.reshape(a.shape[:-2] + (y_dst, fy, x_dst, fx))
+    num = (blocks * w[:, :, None, None]).sum(axis=(-3, -1))
+    den = w.sum(axis=1)[:, None] * fx
+    return (num / den).astype(F32)
+
+
 def regrid_solar(sw: np.ndarray, y_dst: int) -> np.ndarray:
     """(t, y) insolation: linear in latitude only."""
     sw = np.asarray(sw)

@@ -193,6 +193,18 @@ def test_cli_ensemble_per_member_outputs(small_forcing, tmp_path):
             assert b.shape == (num.time_scnr * 2, 5, num.ydim, num.xdim)
             assert np.isfinite(b).all()
         assert not np.array_equal(backs[0], backs[2])    # perturbed members
+    # --shared-spinup: one base-params spin-up shared by all members
+    # (perturbed-physics-ensemble setup; unlocks M>=512, PERF.md) — members
+    # still diverge through their perturbed scenario physics
+    args = argparse.Namespace(ensemble=3, perturb="ct_sens=21.0:24.0",
+                              mxu_precision="high", quiet=True,
+                              shared_spinup=True)
+    run_ensemble(m, out, args)
+    backs = [read_output(f"{out}_{i:03d}", num.xdim, num.ydim)
+             for i in (1, 2, 3)]
+    for b in backs:
+        assert np.isfinite(b).all()
+    assert not np.array_equal(backs[0], backs[2])
     # bad specs fail with guidance, not tracebacks
     with pytest.raises(SystemExit, match="perturb"):
         run_ensemble(m, out, argparse.Namespace(

@@ -137,17 +137,27 @@ def main() -> None:
             print(f"# {mname} path failed ({type(e).__name__}: {e}); "
                   f"using xla", file=sys.stderr)
 
-    # --- refined grid (config 4 of BASELINE.json) ---------------------------
+    # --- refined grids (configs 4-5 of BASELINE.json) -----------------------
     # measured BY DEFAULT on TPU so the driver-captured JSON artifact carries
-    # it (VERDICT r2 #6); override/disable via GREB_BENCH_GRID=WxH|off
+    # them (VERDICT r2 #6); override/disable via GREB_BENCH_GRID=WxH|off and
+    # GREB_BENCH_GRID2=WxH|off (the config-5 768x384 grid, VERDICT r4 #1)
+    labels = {}
+    grid_specs = []
     grid_env = os.environ.get("GREB_BENCH_GRID",
                               "384x192" if platform != "cpu" else "")
     if grid_env and grid_env != "off":
-        gx, gy = (int(s) for s in grid_env.lower().split("x"))
+        grid_specs.append((grid_env, 1800, max(2, bench_years // 5)))
+    grid2_env = os.environ.get("GREB_BENCH_GRID2",
+                               "768x384" if platform != "cpu" else "")
+    if grid2_env and grid2_env != "off":
+        grid_specs.append((grid2_env, 450, 1))
+    for genv, dtc, gny in grid_specs:
+        gx, gy = (int(s) for s in genv.lower().split("x"))
         from greb_tpu.forcing import forcing_from_arrays
         from greb_tpu.io.synthetic import make_synthetic_forcing
         from greb_tpu.regrid import regrid_forcing_arrays
-        gnum = Numerics(xdim=gx, ydim=gy, time_flux=1, time_scnr=3)
+        gnum = Numerics(xdim=gx, ydim=gy, dt_crcl=dtc, time_flux=1,
+                        time_scnr=3)
         arrs = make_synthetic_forcing(96, 48, gnum.nstep_yr, gnum.ndays_yr)
         gforc = forcing_from_arrays(regrid_forcing_arrays(arrs, gnum))
         gm = GREB(GrebConfig(numerics=gnum, use_pallas=True,
@@ -155,11 +165,11 @@ def main() -> None:
                   forcing=gforc, verbose=False)
         sfc, corr_g = gm.flux_correction()
         rate = None
+        gpath = "xla"
         # fused multi-year Pallas kernel — viable at refined grids since the
         # round-4 VMEM correction (128 MiB/chip, PERF.md); 5.5x the XLA path
         if gm._pallas_viable() and platform != "cpu":
             try:
-                gny = max(2, bench_years // 5)
                 runner = gm._multiyear_runner(gny)
                 ppk, fpk, swk, cpk, crk = gm._multiyear_args(corr_g)
                 fag = gm._pallas_fast_args()
@@ -177,6 +187,7 @@ def main() -> None:
                 s5 = run_gmy(s5)
                 jax.block_until_ready(s5)
                 rate = gny / (time.perf_counter() - t0)
+                gpath = "pallas-multiyear"
             except Exception as e:
                 print(f"# grid pallas failed ({type(e).__name__}: {e}); "
                       f"using xla", file=sys.stderr)
@@ -187,11 +198,14 @@ def main() -> None:
             def run_g(s):
                 return jr(s, gm.sfx, corr_g, co2, gm.md, fcdata)[0]
 
-            rate = _steady_rate(run_g, sfc, max(3, bench_years // 5))
-        pts = gx * gy * 730 * rate
-        print(f"# grid[{gx}x{gy}]: {rate:.2f} sim-yr/s "
-              f"({pts / 1e6:.0f} M point-steps/s)", file=sys.stderr)
-        results[f"grid[{grid_env}]"] = rate
+            rate = _steady_rate(run_g, sfc, gny)
+        pts = gx * gy * gnum.nstep_yr * rate
+        print(f"# grid[{gx}x{gy}]: {rate:.3g} sim-yr/s "
+              f"({pts / 1e6:.0f} M point-steps/s, {rate * 86400:.0f} "
+              f"sim-yr/day, {gpath}, dt_crcl={dtc})", file=sys.stderr)
+        results[f"grid[{genv}]"] = rate
+        labels[f"grid[{genv}]"] = {"path": gpath, "dt_crcl": dtc,
+                                   "sim_yr_per_day": round(rate * 86400, 1)}
 
     # --- ensemble aggregate (config 3 of BASELINE.json) ---------------------
     # batched MXU runner: member axis inside the arrays, zonal applies as
@@ -225,13 +239,21 @@ def main() -> None:
         years = max(3, bench_years // 4)
         rate = _steady_rate(run_ens, state_b, years) * n_ens
         results[f"ensemble[{n_ens}]"] = rate
+        # self-describing artifact (VERDICT r4 #8): the aggregate number is
+        # mode- and precision-dependent (HIGHEST measured ~25% slower)
+        labels[f"ensemble[{n_ens}]"] = {"mxu_mode": "stacked",
+                                        "precision": "high (bf16_3x)",
+                                        "spinup": "per-member"}
         print(f"# ensemble[{n_ens}]: {rate:.1f} aggregate sim-yr/s "
-              f"({rate / n_ens:.2f} per member)", file=sys.stderr)
+              f"({rate / n_ens:.2f} per member, stacked MXU, HIGH)",
+              file=sys.stderr)
 
     # --- sharded scaling on the virtual CPU mesh (GREB_BENCH_SHARD=N) -------
     # no multi-chip hardware here; this records that the latitude-sharded
-    # fast path runs end-to-end and how it scales with shard count
-    n_shard = int(os.environ.get("GREB_BENCH_SHARD", "0"))
+    # fast path runs end-to-end and how it scales with shard count.  Runs BY
+    # DEFAULT (8-way) so the driver artifact always carries the shard line
+    # (VERDICT r4 #7); GREB_BENCH_SHARD=0 disables
+    n_shard = int(os.environ.get("GREB_BENCH_SHARD", "8"))
     if n_shard > 0:
         import re
         import subprocess
@@ -250,6 +272,29 @@ def main() -> None:
             if mm:
                 results[f"shard[{mm.group(1)}]@{grid}"] = float(mm.group(2))
 
+    # --- TPU-only test lane (VERDICT r4 #6) ----------------------------------
+    # the driver's recorded suite runs on the CPU mesh, so the TPU-only
+    # parity tests (fused kernel at 384x192, MXU ensemble lanes, golden year
+    # on-chip) were previously green only as README claims.  Run them here
+    # and put the outcome IN the artifact.  GREB_BENCH_TPUTESTS=0 disables.
+    tpu_tests = None
+    if (platform != "cpu"
+            and os.environ.get("GREB_BENCH_TPUTESTS", "1") != "0"):
+        import subprocess
+        tfiles = ["tests/test_pallas_refined.py", "tests/test_mxu.py",
+                  "tests/test_golden_year.py"]
+        env = dict(os.environ, GREB_TEST_TPU="1")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-x", "-q", *tfiles],
+                env=env, capture_output=True, text=True, timeout=1800)
+            tail = (r.stdout.strip().splitlines() or [""])[-1]
+            tpu_tests = "pass" if r.returncode == 0 else f"FAIL: {tail}"
+        except Exception as e:
+            tpu_tests = f"FAIL: {type(e).__name__}"
+        print(f"# tpu_tests: {tpu_tests} ({' '.join(tfiles)})",
+              file=sys.stderr)
+
     if not results:
         print("# no benchmark mode ran", file=sys.stderr)
         sys.exit(1)
@@ -264,7 +309,7 @@ def main() -> None:
           f"workload: {bench_years}-yr 2xCO2 scenario, 96x48, 730 steps/yr",
           file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "sim_years_per_sec",
         "value": round(best, 3),
         "unit": "sim-yr/s",
@@ -273,7 +318,12 @@ def main() -> None:
         # single-run modes in sim-yr/s, ensemble[M] in aggregate member-yr/s,
         # grid[WxH] in sim-yr/s at that grid
         "configs": {k: round(v, 3) for k, v in results.items()},
-    }))
+        # per-config mode/precision/path labels (VERDICT r4 #8)
+        "labels": labels,
+    }
+    if tpu_tests is not None:
+        out["tpu_tests"] = tpu_tests
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,13 @@ class Checkpointer:
         self.dir = directory
         self.every = max(1, every_years)
         self.keep = keep
+        # device->host snapshot cache for the correction tables: corr is
+        # CONSTANT across the scenario phase (learned once in spin-up,
+        # src/greb.f90:344-355), but its ~40 MB device->host copy dominated
+        # the save cost on tunnelled devices (measured 1.4 s of the 1.7 s
+        # save; PERF.md round-5 IO notes) — snapshot once per corr object
+        self._corr_ref = None
+        self._corr_np = None
         self._mgr = None
         try:
             import orbax.checkpoint as ocp
@@ -103,12 +110,15 @@ class Checkpointer:
         rename), so a crash mid-write resumes from the previous complete
         checkpoint.  Call ``wait_until_finished`` before process exit (the
         long-run driver does)."""
+        if corr is not self._corr_ref:   # identity, not id(): holds a ref
+            self._corr_np = {k: np.asarray(getattr(corr, k))
+                             for k in ("tf", "tof", "qf")}
+            self._corr_ref = corr
         if self._mgr is not None:
             payload = {
                 "state": {k: np.asarray(getattr(state, k))
                           for k in ("ts", "ta", "to", "q", "cap_surf")},
-                "corr": {k: np.asarray(getattr(corr, k))
-                         for k in ("tf", "tof", "qf")},
+                "corr": self._corr_np,
                 # orbax StandardSave has no string support: encode phase
                 "cursor": {"phase": _PHASES.index(cursor.phase),
                            "year_index": cursor.year_index,

@@ -433,6 +433,21 @@ class GREB:
                           f"{float(diag.point_ts) - 273.15:12.6f}")
                 box["year"] += 1
 
+        # dispatch-then-drain pipeline: after dispatching block N+1, start
+        # block N's monthly device->host copy NON-BLOCKING
+        # (copy_to_host_async), then drain it — the transfer (the measured
+        # bottleneck on tunnelled devices: ~10-30 MB/s, PERF.md round-5 IO
+        # notes) overlaps the device's work on block N+1.  Deliberately
+        # single-threaded: a dedicated drain THREAD wedges the axon tunnel
+        # (concurrent D2H + execute RPCs deadlocked in tcp_recvmsg;
+        # observed round 5).
+        def prefetch(block):
+            try:
+                block[2].copy_to_host_async()
+                block[3].copy_to_host_async()
+            except Exception:
+                pass                     # optional fast path only
+
         pending = None
         done = 0
         while done < years:
@@ -442,6 +457,7 @@ class GREB:
             state5, monthly, asum = runner(state5, ppack, fpack, sw, cpack,
                                            corrpack, co2y, *fast_args)
             block = (ny, co2_series[done:done + ny], monthly, asum)
+            prefetch(block)
             if pending is not None:
                 drain(pending)
             pending = block

@@ -25,7 +25,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 YEARS = int(os.environ.get("GREB_RUN1000_YEARS", "1000"))
-CHUNK = int(os.environ.get("GREB_RUN1000_CHUNK", "50"))
+# checkpoint cadence = run_long chunk; INSIDE each chunk the multi-year
+# driver pipelines YPC-year kernel blocks against a drain thread, so the
+# monthly device->host copies + file writes overlap the next block's device
+# work (round-5 IO pipeline; on tunnelled devices the D2H copy is the hard
+# floor — PERF.md)
+CHUNK = int(os.environ.get("GREB_RUN1000_CHUNK", "100"))
+YPC = int(os.environ.get("GREB_RUN1000_YPC", "20"))
 CKPT_EVERY = int(os.environ.get("GREB_RUN1000_CKPT", "100"))
 
 
@@ -50,7 +56,7 @@ def _run(workdir: str, stop_year, resume: bool) -> dict:
     ck = Checkpointer(os.path.join(workdir, "ck"), every_years=CKPT_EVERY)
     out_path = os.path.join(workdir, "scenario")
     runner = longrun.driver_year_runner(m, output_path=out_path,
-                                        years_per_call=CHUNK)
+                                        years_per_call=YPC)
     co2 = np.full(YEARS, 680.0, np.float32)
 
     if resume:
@@ -66,9 +72,9 @@ def _run(workdir: str, stop_year, resume: bool) -> dict:
     # warm the fused multi-year kernel (one discarded chunk) so the timed
     # run reports steady-state throughput; compile time goes in compile_s
     t0 = time.perf_counter()
-    m.run_scenario(corr, state=m.initial_state(), years=CHUNK,
-                   co2_series=co2[:CHUNK], collect_monthly=False,
-                   years_per_call=CHUNK)
+    m.run_scenario(corr, state=m.initial_state(), years=YPC,
+                   co2_series=co2[:YPC], collect_monthly=False,
+                   years_per_call=YPC)
     compile_s = time.perf_counter() - t0
 
     target = stop_year if stop_year else YEARS
@@ -118,17 +124,37 @@ def main() -> None:
         return
 
     base = os.environ.get("GREB_RUN1000_DIR", "/tmp/greb_run1000")
+    # a stale workdir makes run_long silently RESUME from old checkpoints
+    # and measure a no-op (this bit a round-5 measurement) — start clean
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
-    def phase(*args):
-        p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            *args], capture_output=True, text=True,
-                           timeout=3600)
-        for ln in p.stdout.splitlines():
-            if ln.startswith("PHASE_RESULT "):
-                return json.loads(ln[len("PHASE_RESULT "):])
-        sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-        raise SystemExit(f"phase {args} failed rc={p.returncode}")
+    def phase(*args, attempts=3, timeout=900):
+        # the axon tunnel intermittently WEDGES on overlapped D2H+execute
+        # RPCs (round-5 observation: a phase hangs with ~0 CPU in
+        # tcp_recvmsg/futex).  A wedged phase is killed and retried in a
+        # fresh process: 'part'/'resume' resume from their checkpoints
+        # (bit-exact, proven), a wedged 'full' restarts from scratch so the
+        # uninterrupted run stays genuinely uninterrupted.
+        for att in range(attempts):
+            if args[0] == "full" and att > 0:
+                import shutil
+                shutil.rmtree(args[1], ignore_errors=True)
+            try:
+                p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                    *args], capture_output=True, text=True,
+                                   timeout=timeout)
+            except subprocess.TimeoutExpired:
+                print(f"# phase {args} wedged (>{timeout}s); retrying",
+                      file=sys.stderr)
+                continue
+            for ln in p.stdout.splitlines():
+                if ln.startswith("PHASE_RESULT "):
+                    return json.loads(ln[len("PHASE_RESULT "):])
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise SystemExit(f"phase {args} failed rc={p.returncode}")
+        raise SystemExit(f"phase {args} wedged {attempts}x")
 
     d_full = os.path.join(base, "full")
     d_res = os.path.join(base, "resumed")
@@ -151,6 +177,7 @@ def main() -> None:
         "compile_s": round(r_full["compile_s"], 2),
         "output_gb": round(r_full["output_bytes"] / 2 ** 30, 3),
         "checkpoint_every": CKPT_EVERY, "chunk_years": CHUNK,
+        "years_per_call": YPC,
         "resume_start_year": r_res["start_year"],
         "resume_state_bitexact": ok_state,
         "resume_output_bitexact": ok_out,

@@ -126,17 +126,33 @@ def main() -> None:
         return
 
     base = os.environ.get("GREB_C5_DIR", "/tmp/greb_config5")
+    # a stale workdir makes run_long silently RESUME from old checkpoints
+    # and measure a no-op — start clean
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
-    def phase(*args):
-        p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            *args], capture_output=True, text=True,
-                           timeout=14400)
-        for ln in p.stdout.splitlines():
-            if ln.startswith("PHASE_RESULT "):
-                return json.loads(ln[len("PHASE_RESULT "):])
-        sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-        raise SystemExit(f"phase {args} failed rc={p.returncode}")
+    def phase(*args, attempts=2, timeout=14400):
+        # wedged-tunnel retry, as in tools/run1000.py: 'part'/'resume'
+        # resume from their checkpoints; 'full' restarts clean
+        for att in range(attempts):
+            if args[0] == "full" and att > 0:
+                import shutil
+                shutil.rmtree(args[1], ignore_errors=True)
+            try:
+                p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                    *args], capture_output=True, text=True,
+                                   timeout=timeout)
+            except subprocess.TimeoutExpired:
+                print(f"# phase {args} wedged (>{timeout}s); retrying",
+                      file=sys.stderr)
+                continue
+            for ln in p.stdout.splitlines():
+                if ln.startswith("PHASE_RESULT "):
+                    return json.loads(ln[len("PHASE_RESULT "):])
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise SystemExit(f"phase {args} failed rc={p.returncode}")
+        raise SystemExit(f"phase {args} wedged {attempts}x")
 
     d_full = os.path.join(base, "full")
     d_res = os.path.join(base, "resumed")

@@ -151,6 +151,12 @@ def compute_tendencies(state: ModelState, fx, co2, md: ModelData,
             cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
             dx2 = fc2.sharded_circulation(x2, cf_t, const, plan, nsub,
                                           extend, unroll=unroll_circ)
+        elif isinstance(mxu, fc2.MxuMembers):
+            # in-kernel member-batched MXU formulation (Pallas multiyear
+            # member kernels; state (MB, 2, Y, X))
+            cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
+            dx2 = fc2.mxu_members_circulation(x2, cf_t, const, mxu, plan,
+                                              nsub, unroll=unroll_circ)
         elif mxu is not None:
             cf_t = fc2.step_coeffs(fx.u, fx.v, const, plan)
             dx2 = fc2.mxu_circulation(x2, cf_t, const, mxu, plan, nsub,

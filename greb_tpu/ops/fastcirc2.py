@@ -731,6 +731,132 @@ def extend_lat_zero(x: jax.Array, width: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# member-batched MXU formulation for INSIDE Pallas kernels
+# ---------------------------------------------------------------------------
+# The VMEM-resident member-batched multiyear kernel (ops/pallas/multiyear)
+# is VPU-tile-throughput-bound with the fold (~125 member-yr/s measured at
+# mb 8/16/32, round 5) — the same wall the XLA path escapes via the MXU
+# (build_mxu).  This variant brings the MXU formulation INTO the kernel:
+# the state transposes once per step to (F*Y, MB, X) so both zonal applies
+# run as ONE row-batched (FY, MB, X) @ (FY, X, 2X) dot per substep with the
+# member axis filling the systolic array, and intermediates never touch HBM
+# (the XLA path's ~60% overhead, PERF.md).  Mosaic rejects
+# precision=HIGH on in-kernel dots, so "bf16_3x" emulates it with an
+# explicit 3-pass bf16 split (identical error model: ~2^-21 relative);
+# "highest" uses exact-f32 dots.
+
+@struct.dataclass
+class MxuMembers:
+    """Constants of the in-kernel member-batched MXU circulation."""
+    zd_mat: jax.Array   # (F, Y, X, X) dense zonal-diffusion row matrices
+    shift1h: jax.Array  # (7, X, X) one-hot shift tensors
+    precision: str = struct.field(pytree_node=False, default="bf16_3x")
+
+
+def build_mxu_members(const: Fast2Const, plan: FastPlan,
+                      precision: str = "bf16_3x") -> MxuMembers:
+    assert precision in ("bf16_3x", "highest"), precision
+    base = build_mxu(const, plan, precision="highest")
+    return MxuMembers(zd_mat=base.zd_mat, shift1h=base.shift1h,
+                      precision=precision)
+
+
+def _dot_b(x, mat, precision: str):
+    """(B, M, X) x (B, X, Z) batched over B.  "bf16_3x": 3-pass bf16 split
+    (hi@hi + hi@lo + lo@hi), the HIGH error model Mosaic can't express as
+    a precision flag in-kernel; "highest": exact f32."""
+    dims = (((2,), (1,)), ((0,), (0,)))
+    if precision == "bf16_3x":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        mh = mat.astype(jnp.bfloat16)
+        ml = (mat - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32)
+        return d(xh, mh) + d(xh, ml) + d(xl, mh)
+    return jax.lax.dot_general(x, mat, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def mxu_members_circulation(x2: jax.Array, cf: Fast2Coeffs,
+                            const: Fast2Const, mm: MxuMembers,
+                            plan: FastPlan, nsub: int,
+                            unroll=False) -> jax.Array:
+    """Sub-cycled circulation increment for (MB, F, Y, X) member batches,
+    substep math identical to mxu_substep_stacked (same dot per row, same
+    clamp/composite/meridional order) with the member axis as the matmul
+    rows.  Supports the 96x48-class schedule shape only (no explicit
+    segments; dense composites) — exactly the grids whose per-op tiles are
+    small enough for member batching to pay."""
+    assert plan.diff_segs == () and plan.adv_segs == (), \
+        "member-MXU kernel supports segment-free schedules only (96x48)"
+    assert plan.comp_mode == "dense" and not plan.seq_zonal
+    MB, Fd = x2.shape[0], x2.shape[1]
+    Y, X = plan.ydim, plan.xdim
+
+    # densify this step's advection coefficients WITHOUT einsum (7 diagonal
+    # broadcast-scatter terms lower cleanly in Mosaic); stack with the
+    # constant diffusion matrices: one (FY, X, 2X) operand per step
+    za_mat = None
+    for s in range(7):
+        term = cf.za[s][:, :, None, :] * mm.shift1h[s]      # (F, Y, X, X)
+        za_mat = term if za_mat is None else za_mat + term
+    dz = jnp.concatenate([mm.zd_mat, za_mat], axis=-1)      # (F, Y, X, 2X)
+    dzr = dz.reshape(Fd * Y, X, 2 * X)
+
+    band_m = jnp.tile(const.band, (Fd, 1))[..., None]       # (FY, 1, 1)
+    wz_m = const.wz.reshape(Fd * Y, 1, X)
+    c0m_m = cf.c0m[:, :, None, :]                           # (F, Y, 1, X)
+    mc_m = cf.mc[:, :, :, None, :]                          # (4, F, Y, 1, X)
+
+    comp_rows = ([(r, j) for j, r in enumerate(range(plan.comp_kt))]
+                 + [(Y - plan.comp_kb + j, plan.comp_kt + j)
+                    for j in range(plan.comp_kb)])
+
+    def substep(xf):                                        # (FY, MB, X)
+        both = _dot_b(xf, dzr, mm.precision)                # (FY, MB, 2X)
+        dd = both[..., :X]
+        da = both[..., X:]
+        dd = jnp.where(jnp.logical_and(band_m, dd <= -xf),
+                       F32(-0.9) * xf, dd)
+        for f in range(Fd):
+            for (r, k) in comp_rows:
+                i = f * Y + r
+                t1 = xf[i] + dd[i]                          # (MB, X)
+                t2 = jnp.dot(t1, const.pcomp[f, k],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                t1 = t1 + v1._clamped(t2 - t1, t1)
+                dd = dd.at[i].set(t1 - xf[i])
+        da = jnp.where(jnp.logical_and(band_m, da <= -xf),
+                       F32(-0.9) * xf, da)
+        xr = xf.reshape(Fd, Y, MB, X)
+        xe = jnp.pad(xr, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        dy = c0m_m * xr
+        dy = dy + mc_m[0] * xe[:, 0:Y]
+        dy = dy + mc_m[1] * xe[:, 1:Y + 1]
+        dy = dy + mc_m[2] * xe[:, 3:Y + 3]
+        dy = dy + mc_m[3] * xe[:, 4:Y + 4]
+        return xf + wz_m * dd + da + dy.reshape(Fd * Y, MB, X)
+
+    x = x2.transpose(1, 2, 0, 3).reshape(Fd * Y, MB, X)     # once per step
+    if unroll is True:
+        xc = x
+        for _ in range(nsub):
+            xc = substep(xc)
+    elif isinstance(unroll, int) and 1 < unroll <= nsub and nsub % unroll == 0:
+        def block(i, xc):
+            for _ in range(unroll):
+                xc = substep(xc)
+            return xc
+        xc = jax.lax.fori_loop(0, nsub // unroll, block, x)
+    else:
+        xc = jax.lax.fori_loop(0, nsub, lambda i, xc: substep(xc), x)
+    return (xc - x).reshape(Fd, Y, MB, X).transpose(2, 0, 1, 3)
+
+
+# ---------------------------------------------------------------------------
 # latitude-sharded variant
 # ---------------------------------------------------------------------------
 # Under shard_map every shard must run the SAME program.  The uniform fold

@@ -139,7 +139,7 @@ def build_scenario_years(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2y_ref, mon_ref, mst_ref, w_ref, state_ref, ppack_ref,
                fpack_ref, sw_ref, cpack_ref, sfp_ref, corr_ref, *rest):
         if fastcirc is not None:
-            fc_t = (plan, fast_rebuild(rest[:n_fast]))
+            fc_t = (plan,) + fast_rebuild(rest[:n_fast])
         else:
             fc_t = None
         out_state_ref, mon_out_ref, amean_ref, s_scr = rest[n_fast:]
@@ -276,7 +276,7 @@ def build_fluxcorr_years(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2_ref, state_ref, ppack_ref, fpack_ref, sw_ref, cpack_ref,
                sfp_ref, *rest):
         if fastcirc is not None:
-            fc_t = (plan, fast_rebuild(rest[:n_fast]))
+            fc_t = (plan,) + fast_rebuild(rest[:n_fast])
         else:
             fc_t = None
         out_state_ref, corr_ref, s_scr = rest[n_fast:]

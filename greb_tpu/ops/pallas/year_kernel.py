@@ -159,11 +159,15 @@ def _state_to_refs(s_ref, out_state_ref, state: ModelState) -> None:
 def _fast_pack(fastcirc):
     """(arrays, rebuild) for either fold's constant pytree: the arrays are
     streamed to VMEM as kernel inputs; ``rebuild(refs)`` reconstructs the
-    const dataclass from the corresponding refs inside the kernel.  Bool
-    leaves travel as 0/1 float32."""
+    tail of the fastcirc tuple (everything after the static plan) from the
+    corresponding refs inside the kernel, so kernels do
+    ``fc_t = (plan,) + rebuild(refs)``.  Bool leaves travel as 0/1 float32.
+    An optional third tuple element (fastcirc2.MxuMembers) switches the
+    member-batched kernels to the in-kernel MXU circulation."""
     if fastcirc is None:
         return (), None
-    plan, const = fastcirc
+    plan, const = fastcirc[0], fastcirc[1]
+    mm = fastcirc[2] if len(fastcirc) > 2 else None
     if isinstance(const, fcirc2.Fast2Const):
         pmask = (const.pmask if const.pmask is not None
                  else jnp.zeros((1, 1), jnp.float32))
@@ -171,7 +175,7 @@ def _fast_pack(fastcirc):
                   const.band.astype(jnp.float32), const.pcomp, const.pcu,
                   const.pcw, pmask)
 
-        def rebuild(refs):
+        def rebuild_const(refs):
             zd, zam, mer, wz, band, pcomp, pcu, pcw, pmask = (
                 r[...] for r in refs)
             return fcirc2.Fast2Const(zd=zd, zam=zam, mer=mer, wz=wz,
@@ -180,10 +184,24 @@ def _fast_pack(fastcirc):
     else:
         arrays = (const.full, const.band, const.pcomp, const.pcu, const.pcw)
 
-        def rebuild(refs):
+        def rebuild_const(refs):
             full, band, pcomp, pcu, pcw = (r[...] for r in refs)
             return fcirc.FastConst(full=full, band=band, pcomp=pcomp,
                                    pcu=pcu, pcw=pcw)
+
+    if mm is None:
+        def rebuild(refs):
+            return (rebuild_const(refs),)
+        return arrays, rebuild
+
+    n_const = len(arrays)
+    arrays = arrays + (mm.zd_mat, mm.shift1h)
+
+    def rebuild(refs):
+        const_t = rebuild_const(refs[:n_const])
+        zd_mat, shift1h = (r[...] for r in refs[n_const:])
+        return (const_t, fcirc2.MxuMembers(zd_mat=zd_mat, shift1h=shift1h,
+                                           precision=mm.precision))
 
     return arrays, rebuild
 
@@ -245,7 +263,7 @@ def build_scenario_year(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                corr_ref, *rest):
         if fastcirc is not None:
-            fc_t = (plan, fast_rebuild(rest[:n_fast]))
+            fc_t = (plan,) + fast_rebuild(rest[:n_fast])
         else:
             fc_t = None
         out_state_ref, outs_ref, amean_ref, s_scr = rest[n_fast:]
@@ -360,7 +378,7 @@ def build_fluxcorr_year(md: core.ModelData, st: stc.StencilStatic,
     def kernel(co2_ref, state_ref, fpack_ref, sw_ref, cpack_ref, sfp_ref,
                *rest):
         if fastcirc is not None:
-            fc_t = (plan, fast_rebuild(rest[:n_fast]))
+            fc_t = (plan,) + fast_rebuild(rest[:n_fast])
         else:
             fc_t = None
         out_state_ref, corr_ref, s_scr = rest[n_fast:]

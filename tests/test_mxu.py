@@ -161,3 +161,36 @@ def test_mxu_stacked_bit_identical():
     d_p = fc2.mxu_circulation(x, cf, const, mxu_p, plan, nsub=24)
     d_s = fc2.mxu_circulation(x, cf, const, mxu_s, plan, nsub=24)
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_s))
+
+
+def test_mxu_members_circulation_parity():
+    """The in-kernel member-batched formulation (fastcirc2.MxuMembers;
+    round-5 member kernel) matches mxu_circulation on the same (MB,2,Y,X)
+    batch: "highest" to f32 contraction-order noise, "bf16_3x" within the
+    documented HIGH error budget."""
+    import jax
+
+    num = Numerics(time_flux=0, time_scnr=0)
+    m = GREB(GrebConfig(numerics=num, fast_circulation=True), verbose=False)
+    plan, (const,) = m._fastcirc_split()
+    rng = np.random.default_rng(7)
+    MB, Y, X = 4, num.ydim, num.xdim
+    x2 = jnp.asarray(280.0 + 10 * rng.standard_normal((MB, 2, Y, X)),
+                     jnp.float32)
+    u = jnp.asarray(m.forcing.uclim[0], jnp.float32)
+    v = jnp.asarray(m.forcing.vclim[0], jnp.float32)
+    cf = fc2.step_coeffs(u, v, const, plan)
+    nsub = num.nsub_crcl
+
+    mxu_ref = fc2.build_mxu(const, plan, precision="highest", mode="stacked")
+    want = np.asarray(fc2.mxu_circulation(x2, cf, const, mxu_ref, plan,
+                                          nsub, unroll=True))
+    # bf16_3x tolerance is for RANDOM (maximally rough) fields over 24
+    # substeps; real climate fields are far smoother (cf. the full-year
+    # "high" budget of 5e-2 in test_mxu_high_error_budget)
+    for prec, tol in (("highest", 2e-4), ("bf16_3x", 5e-2)):
+        mm = fc2.build_mxu_members(const, plan, precision=prec)
+        got = np.asarray(fc2.mxu_members_circulation(
+            x2, cf, const, mm, plan, nsub, unroll=True))
+        d = np.abs(got - want).max()
+        assert d < tol, (prec, d)

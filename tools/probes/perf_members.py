@@ -13,8 +13,24 @@ num = Numerics(time_flux=1, time_scnr=2)
 m = GREB(GrebConfig(numerics=num, use_pallas=True, fast_circulation=True),
          verbose=False)
 fpack, sw, cpack = m._pallas_packs()
-fa = m._pallas_fast_args()
 co2 = jnp.float32(680.0)
+
+# MXU=bf16_3x|highest switches the SCENARIO kernel's circulation to the
+# in-kernel member-batched MXU formulation (fastcirc2.mxu_members_...);
+# the flux kernel keeps the VPU fold (time_flux years only)
+import os
+MXU = os.environ.get("MXU", "")
+fc_flux = m.fastcirc_tables()
+if MXU:
+    from greb_tpu.ops import fastcirc2 as fc2
+    plan, const = fc_flux
+    fc_scnr = (plan, const, fc2.build_mxu_members(const, plan,
+                                                  precision=MXU))
+else:
+    fc_scnr = fc_flux
+from greb_tpu.ops.pallas.year_kernel import _fast_args
+fa = _fast_args(fc_flux)
+fa_s = _fast_args(fc_scnr)
 
 def bench(M, MB, NY):
     perturb = {"ct_sens": np.float32(22.5) * (1.0 + 0.02 *
@@ -27,13 +43,13 @@ def bench(M, MB, NY):
                         state_b.cap_surf], axis=0)
     flux_k = jax.jit(my.build_fluxcorr_years(
         m.md, m.st, m._sf_np, m.num, m.exp, n_members=M, mb=MB,
-        fastcirc=m.fastcirc_tables()))
+        fastcirc=fc_flux))
     s5, corrpack = flux_k(state5, ppack, fpack, sw, cpack, co2, *fa)
     scnr_k = jax.jit(my.build_scenario_years(
         m.md, m.st, m._sf_np, m.num, m.exp, n_years=NY, n_members=M, mb=MB,
-        fastcirc=m.fastcirc_tables()))
+        fastcirc=fc_scnr))
     co2y = jnp.full((NY,), 680.0, jnp.float32)
-    args = (ppack, fpack, sw, cpack, corrpack, co2y) + fa
+    args = (ppack, fpack, sw, cpack, corrpack, co2y) + fa_s
     s, mon, _ = scnr_k(s5, *args)
     jax.block_until_ready(s)
     t0 = time.perf_counter()

@@ -810,25 +810,31 @@ def mxu_members_circulation(x2: jax.Array, cf: Fast2Coeffs,
     c0m_m = cf.c0m[:, :, None, :]                           # (F, Y, 1, X)
     mc_m = cf.mc[:, :, :, None, :]                          # (4, F, Y, 1, X)
 
-    comp_rows = ([(r, j) for j, r in enumerate(range(plan.comp_kt))]
-                 + [(Y - plan.comp_kb + j, plan.comp_kt + j)
-                    for j in range(plan.comp_kb)])
-
     def substep(xf):                                        # (FY, MB, X)
         both = _dot_b(xf, dzr, mm.precision)                # (FY, MB, 2X)
         dd = both[..., :X]
         da = both[..., X:]
         dd = jnp.where(jnp.logical_and(band_m, dd <= -xf),
                        F32(-0.9) * xf, dd)
+        # dense pole composites: static row slices reassembled by concat
+        # (Mosaic has no scatter; indices are static anyway)
+        kt, kb = plan.comp_kt, plan.comp_kb
+        segs = []
         for f in range(Fd):
-            for (r, k) in comp_rows:
-                i = f * Y + r
-                t1 = xf[i] + dd[i]                          # (MB, X)
+            base = f * Y
+
+            def comp_one(r, k):
+                t1 = xf[base + r] + dd[base + r]            # (MB, X)
                 t2 = jnp.dot(t1, const.pcomp[f, k],
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
                 t1 = t1 + v1._clamped(t2 - t1, t1)
-                dd = dd.at[i].set(t1 - xf[i])
+                return (t1 - xf[base + r])[None]            # (1, MB, X)
+
+            segs += [comp_one(r, j) for j, r in enumerate(range(kt))]
+            segs.append(dd[base + kt:base + Y - kb])
+            segs += [comp_one(Y - kb + j, kt + j) for j in range(kb)]
+        dd = jnp.concatenate(segs, axis=0)
         da = jnp.where(jnp.logical_and(band_m, da <= -xf),
                        F32(-0.9) * xf, da)
         xr = xf.reshape(Fd, Y, MB, X)

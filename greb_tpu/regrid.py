@@ -67,8 +67,11 @@ def regrid_field(a: np.ndarray, x_dst: int, y_dst: int,
     a01 = a[..., jy0[:, None], jx1[None, :]]
     a10 = a[..., jy1[:, None], jx0[None, :]]
     a11 = a[..., jy1[:, None], jx1[None, :]]
-    wy_ = wy[:, None]
-    wx_ = wx[None, :]
+    # blend in the source dtype: float64 weights would promote the (t, y, x)
+    # temporaries to f64 and double the cost of full-calendar refined-grid
+    # regrids (~GBs of traffic; measured 12 min at 768x384 on 2 cores)
+    wy_ = wy.astype(a.dtype)[:, None]
+    wx_ = wx.astype(a.dtype)[None, :]
     out = ((1 - wy_) * ((1 - wx_) * a00 + wx_ * a01)
            + wy_ * ((1 - wx_) * a10 + wx_ * a11))
     return out.astype(F32)

@@ -35,6 +35,8 @@ FLUX_YEARS = int(os.environ.get("GREB_C5_FLUX", "3"))
 
 
 def _model():
+    import numpy as np
+
     from greb_tpu.config import GrebConfig, Numerics
     from greb_tpu.forcing import forcing_from_arrays
     from greb_tpu.io.synthetic import make_synthetic_forcing
@@ -43,8 +45,20 @@ def _model():
 
     num = Numerics(xdim=768, ydim=384, dt_crcl=450, time_flux=FLUX_YEARS,
                    time_scnr=YEARS)
-    arrs = make_synthetic_forcing(96, 48, num.nstep_yr, num.ndays_yr)
-    forcing = forcing_from_arrays(regrid_forcing_arrays(arrs, num))
+    # regridding the full-calendar climatology to 768x384 costs ~12 min of
+    # host CPU on this box; cache it across the three phases (the arrays
+    # are deterministic: synthetic seed + bilinear weights)
+    cache = os.environ.get("GREB_C5_FORCING_CACHE",
+                           "/tmp/greb_f768_cache.npz")
+    if cache and os.path.exists(cache):
+        arrs = dict(np.load(cache))
+    else:
+        arrs = make_synthetic_forcing(96, 48, num.nstep_yr, num.ndays_yr)
+        arrs = regrid_forcing_arrays(arrs, num)
+        if cache:
+            np.savez(cache + ".tmp.npz", **arrs)
+            os.replace(cache + ".tmp.npz", cache)
+    forcing = forcing_from_arrays(arrs)
     return GREB(GrebConfig(numerics=num, fast_circulation=True),
                 forcing=forcing, verbose=False)
 

@@ -158,8 +158,23 @@ def main() -> None:
         from greb_tpu.regrid import regrid_forcing_arrays
         gnum = Numerics(xdim=gx, ydim=gy, dt_crcl=dtc, time_flux=1,
                         time_scnr=3)
-        arrs = make_synthetic_forcing(96, 48, gnum.nstep_yr, gnum.ndays_yr)
-        gforc = forcing_from_arrays(regrid_forcing_arrays(arrs, gnum))
+        # full-calendar refined-grid regrids cost minutes of host CPU on
+        # small hosts — cache them (deterministic: synthetic seed +
+        # bilinear weights); shared with tools/run_config5.py at 768x384
+        import numpy as _np
+        cache = (os.environ.get("GREB_C5_FORCING_CACHE",
+                                "/tmp/greb_f768_cache.npz")
+                 if (gx, gy) == (768, 384)
+                 else f"/tmp/greb_forcing_{gx}x{gy}.npz")
+        if os.path.exists(cache):
+            arrs = dict(_np.load(cache))
+        else:
+            arrs = make_synthetic_forcing(96, 48, gnum.nstep_yr,
+                                          gnum.ndays_yr)
+            arrs = regrid_forcing_arrays(arrs, gnum)
+            _np.savez(cache + ".tmp.npz", **arrs)
+            os.replace(cache + ".tmp.npz", cache)
+        gforc = forcing_from_arrays(arrs)
         gm = GREB(GrebConfig(numerics=gnum, use_pallas=True,
                              fast_circulation=True),
                   forcing=gforc, verbose=False)

@@ -369,6 +369,12 @@ class GREB:
                 from ..diag.profiling import check_finite
                 check_finite(state, name=f"state@yr{iy + 1}")
             if collect_monthly:
+                # drain only once the device is idle: a D2H request racing
+                # the in-flight execute RPC intermittently WEDGES the axon
+                # tunnel (observed on 70 MB/yr refined-grid transfers,
+                # round 5).  The per-year loop is serialized anyway, so
+                # fencing first costs nothing.
+                jax.block_until_ready(state.ts)
                 monthly_np = np.asarray(monthly)
                 monthly_all.append(monthly_np)
                 if writer:

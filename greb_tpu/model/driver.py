@@ -11,6 +11,7 @@ per-year dispatch disappears from the hot path entirely.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Callable, Optional, Tuple
 
@@ -439,20 +440,18 @@ class GREB:
                           f"{float(diag.point_ts) - 273.15:12.6f}")
                 box["year"] += 1
 
-        # dispatch-then-drain pipeline: after dispatching block N+1, start
-        # block N's monthly device->host copy NON-BLOCKING
-        # (copy_to_host_async), then drain it — the transfer (the measured
-        # bottleneck on tunnelled devices: ~10-30 MB/s, PERF.md round-5 IO
-        # notes) overlaps the device's work on block N+1.  Deliberately
-        # single-threaded: a dedicated drain THREAD wedges the axon tunnel
-        # (concurrent D2H + execute RPCs deadlocked in tcp_recvmsg;
-        # observed round 5).
-        def prefetch(block):
-            try:
-                block[2].copy_to_host_async()
-                block[3].copy_to_host_async()
-            except Exception:
-                pass                     # optional fast path only
+        # dispatch-then-drain pipeline.  GREB_IO_OVERLAP=1 starts block N's
+        # monthly device->host copy non-blocking (copy_to_host_async) while
+        # block N+1 computes — the transfer is the measured bottleneck on
+        # tunnelled devices (~10-30 MB/s, PERF.md round-5 IO notes) and
+        # overlapping it reached 18.8 sim-yr/s on the 1000-yr run.  The
+        # DEFAULT is the safe pipeline: fence the device (block_until_ready)
+        # before each drain, because ANY D2H request racing an in-flight
+        # execute RPC intermittently WEDGES the axon tunnel (observed three
+        # ways in round 5: drain thread, async-copy overlap, and the plain
+        # per-year path at 70 MB/yr).  On non-tunnelled TPU hosts D2H is
+        # ~10+ GB/s and the fence costs nothing measurable.
+        overlap = os.environ.get("GREB_IO_OVERLAP", "0") == "1"
 
         pending = None
         done = 0
@@ -463,12 +462,21 @@ class GREB:
             state5, monthly, asum = runner(state5, ppack, fpack, sw, cpack,
                                            corrpack, co2y, *fast_args)
             block = (ny, co2_series[done:done + ny], monthly, asum)
-            prefetch(block)
+            if overlap:
+                try:
+                    monthly.copy_to_host_async()
+                    asum.copy_to_host_async()
+                except Exception:
+                    pass                 # optional fast path only
+            else:
+                jax.block_until_ready(state5)
             if pending is not None:
                 drain(pending)
             pending = block
             done += ny
         if pending is not None:
+            if not overlap:
+                jax.block_until_ready(state5)
             drain(pending)
         if writer:
             writer.close()

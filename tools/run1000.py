@@ -24,6 +24,11 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# run the overlapped IO pipeline (driver GREB_IO_OVERLAP): +20% end-to-end
+# on the tunnel (18.8 vs ~15.5 sim-yr/s); the phase retry below absorbs the
+# tunnel's intermittent D2H/execute wedge
+os.environ.setdefault("GREB_IO_OVERLAP", "1")
+
 YEARS = int(os.environ.get("GREB_RUN1000_YEARS", "1000"))
 # checkpoint cadence = run_long chunk; INSIDE each chunk the multi-year
 # driver pipelines YPC-year kernel blocks against a drain thread, so the

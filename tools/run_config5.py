@@ -146,7 +146,7 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
 
-    def phase(*args, attempts=3, timeout=2700):
+    def phase(*args, attempts=3, timeout=4200):
         # wedged-tunnel retry, as in tools/run1000.py: 'part'/'resume'
         # resume from their checkpoints; 'full' restarts clean
         for att in range(attempts):

@@ -221,6 +221,11 @@ def main() -> None:
         results[f"grid[{genv}]"] = rate
         labels[f"grid[{genv}]"] = {"path": gpath, "dt_crcl": dtc,
                                    "sim_yr_per_day": round(rate * 86400, 1)}
+        # release this grid's device arrays (768x384 holds ~10 GB of HBM:
+        # forcing + correction tables) before the ensemble/tpu-test lanes
+        import gc
+        del gm, sfc, corr_g, arrs, gforc
+        gc.collect()
 
     # --- ensemble aggregate (config 3 of BASELINE.json) ---------------------
     # batched MXU runner: member axis inside the arrays, zonal applies as
